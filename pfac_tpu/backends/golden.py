@@ -1,0 +1,97 @@
+"""Serial NumPy golden model — the semantic oracle for every other backend.
+
+Implements the exact per-start failureless walk of the reference CPU backend
+(reference: PFAC/src/PFAC_CPU.cpp:60-163):
+
+    for each start position i:
+        state = initial_state
+        for pos = i .. N-1:
+            state = delta(state, input[pos])     # dense or hashed delta
+            if state == trap: break
+            if state <= num_final_states: result[i] = state   # longest wins
+
+``match_result[i]`` is the ID of the longest pattern starting at byte ``i``
+(0 if none) — the contract of `PFAC_matchFromHost`.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.automaton import Automaton
+from ..core.tables import HASH_KEY_K_MASKBITS, HASH_KEY_S_MASK, HASH_P
+from ..core.trie import TRAP_STATE
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(data), dtype=np.uint8)
+    arr = np.asarray(data)
+    if arr.dtype != np.uint8:
+        raise TypeError(f"expected bytes/uint8 array, got {arr.dtype}")
+    return arr
+
+
+def match_dense(automaton: Automaton, data) -> np.ndarray:
+    """Serial dense-table matcher (reference: PFAC_CPU_timeDriven)."""
+    inp = _as_u8(data)
+    table = automaton.ensure_dense().table
+    n = inp.shape[0]
+    k = automaton.num_final_states
+    result = np.zeros(n, dtype=np.int32)
+    for start in range(n):
+        state = automaton.initial_state
+        for pos in range(start, n):
+            state = int(table[state, inp[pos]])
+            if state == TRAP_STATE:
+                break
+            if state <= k:
+                result[start] = state
+    return result
+
+
+def match_hash(automaton: Automaton, data) -> np.ndarray:
+    """Serial hashed-table matcher (reference: PFAC_CPU_spaceDriven)."""
+    inp = _as_u8(data)
+    ht = automaton.ensure_hash()
+    row_ptr, val = ht.row_ptr, ht.val
+    n = inp.shape[0]
+    k = automaton.num_final_states
+    result = np.zeros(n, dtype=np.int32)
+    for start in range(n):
+        state = automaton.initial_state
+        for pos in range(start, n):
+            ch_in = int(inp[pos])
+            offset = int(row_ptr[state, 0])
+            if offset < 0:
+                break
+            k_sminus1 = int(row_ptr[state, 1])
+            sminus1 = k_sminus1 & HASH_KEY_S_MASK
+            key = k_sminus1 >> HASH_KEY_K_MASKBITS
+            x = key * ch_in
+            beta = (x & 0xFF) - (x >> 8)
+            if beta < 0:
+                beta += HASH_P
+            slot = offset + (beta & sminus1)
+            if int(val[slot, 1]) != ch_in:
+                break
+            state = int(val[slot, 0])
+            if state <= k:
+                result[start] = state
+    return result
+
+
+def match(automaton: Automaton, data, perf_mode: str = "dense") -> np.ndarray:
+    if perf_mode == "dense":
+        return match_dense(automaton, data)
+    if perf_mode == "hash":
+        return match_hash(automaton, data)
+    raise ValueError(f"unknown perf_mode {perf_mode!r}")
+
+
+def reduce_result(match_result: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Compact a dense match result into (ids, positions, count), positions
+    ascending — the `PFAC_matchFromHostReduce` output contract
+    (reference: PFAC/src/PFAC.cpp:1060-1070)."""
+    pos = np.nonzero(match_result > 0)[0].astype(np.int32)
+    ids = match_result[pos].astype(np.int32)
+    return ids, pos, int(pos.shape[0])

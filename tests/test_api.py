@@ -1,0 +1,109 @@
+"""Pythonic Matcher API + C-style capi parity layer."""
+import numpy as np
+import pytest
+
+from pfac_tpu import Matcher, PerfMode, PfacStatus, Platform, get_error_string
+from pfac_tpu.runtime import capi
+
+
+class TestMatcher:
+    def test_basic(self):
+        m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], tile=64)
+        assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+    def test_platform_cpu_golden(self):
+        m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], platform="cpu")
+        assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+    def test_platform_cpu_parallel(self):
+        m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], platform="cpu_omp", tile=64)
+        assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+    def test_perf_mode_switch(self):
+        m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], tile=64)
+        dense = m.match(b"ABEDEDABG")
+        m.set_perf_mode("hash")
+        hashed = m.match(b"ABEDEDABG")
+        assert dense.tolist() == hashed.tolist()
+
+    def test_match_reduce(self):
+        m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], tile=64)
+        ids, pos, n = m.match_reduce(b"ABEDEDABG")
+        assert (n, pos.tolist(), ids.tolist()) == (5, [0, 1, 2, 4, 6], [1, 3, 4, 4, 2])
+
+    def test_str_patterns(self):
+        m = Matcher(["ab", "cd"], tile=32)
+        assert m.match(b"abcd").tolist() == [1, 0, 2, 0]
+
+    def test_empty_input(self):
+        m = Matcher([b"x"], tile=32)
+        assert m.match(b"").tolist() == []
+        ids, pos, n = m.match_reduce(b"")
+        assert n == 0
+
+    def test_doc_dump(self):
+        m = Matcher([b"AB"], tile=32)
+        assert "Transition table" in m.dump_transition_table()
+        assert "time-driven" in m.memory_usage()
+
+
+class TestCapi:
+    def test_full_flow(self, example_pattern_path, example_input):
+        handle = []
+        assert capi.PFAC_create(handle) == PfacStatus.SUCCESS
+        h = handle[0]
+        assert capi.PFAC_setPlatform(h, capi.PFAC_PLATFORM_GPU) == PfacStatus.SUCCESS
+        assert capi.PFAC_setPerfMode(h, capi.PFAC_TIME_DRIVEN) == PfacStatus.SUCCESS
+        assert capi.PFAC_readPatternFromFile(h, example_pattern_path) == PfacStatus.SUCCESS
+        n = len(example_input)
+        result = np.zeros(n, dtype=np.int32)
+        assert capi.PFAC_matchFromHost(h, example_input, n, result) == PfacStatus.SUCCESS
+        assert result.tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0, 0]
+        assert capi.PFAC_destroy(h) == PfacStatus.SUCCESS
+
+    def test_reduce_flow(self, example_pattern_path, example_input):
+        handle = []
+        capi.PFAC_create(handle)
+        h = handle[0]
+        capi.PFAC_setPerfMode(h, capi.PFAC_SPACE_DRIVEN)
+        capi.PFAC_readPatternFromFile(h, example_pattern_path)
+        n = len(example_input)
+        ids = np.zeros(n, dtype=np.int32)
+        pos = np.zeros(n, dtype=np.int32)
+        cnt = []
+        st = capi.PFAC_matchFromHostReduce(h, example_input, n, ids, pos, cnt)
+        assert st == PfacStatus.SUCCESS
+        assert cnt[0] == 5
+        assert pos[:5].tolist() == [0, 1, 2, 4, 6]
+        assert ids[:5].tolist() == [1, 3, 4, 4, 2]
+
+    def test_error_paths(self):
+        assert capi.PFAC_destroy(None) == PfacStatus.INVALID_HANDLE
+        assert capi.PFAC_setPlatform(None, 0) == PfacStatus.INVALID_HANDLE
+        handle = []
+        capi.PFAC_create(handle)
+        h = handle[0]
+        assert capi.PFAC_setPlatform(h, 99) == PfacStatus.INVALID_PARAMETER
+        assert capi.PFAC_setPerfMode(h, 99) == PfacStatus.INVALID_PARAMETER
+        assert capi.PFAC_readPatternFromFile(h, "/nonexistent") == PfacStatus.FILE_OPEN_ERROR
+        r = np.zeros(4, dtype=np.int32)
+        assert capi.PFAC_matchFromHost(h, b"abcd", 4, r) == PfacStatus.PATTERNS_NOT_READY
+
+    def test_error_strings(self):
+        assert "successful" in get_error_string(PfacStatus.SUCCESS)
+        assert "PFAC_readPatternFromFile" in get_error_string(PfacStatus.PATTERNS_NOT_READY)
+        assert capi.PFAC_getErrorString(PfacStatus.INVALID_HANDLE).startswith(
+            "PFAC_STATUS_INVALID_HANDLE"
+        )
+
+    def test_dump_and_memory(self, example_pattern_path, tmp_path, capsys):
+        handle = []
+        capi.PFAC_create(handle)
+        h = handle[0]
+        capi.PFAC_readPatternFromFile(h, example_pattern_path)
+        with open(tmp_path / "table.txt", "w") as f:
+            assert capi.PFAC_dumpTransitionTable(h, f) == PfacStatus.SUCCESS
+        text = (tmp_path / "table.txt").read_text()
+        assert "number of states = 11" in text
+        assert capi.PFAC_memoryUsage(h) == PfacStatus.SUCCESS
+        assert "time-driven" in capsys.readouterr().out

@@ -1,0 +1,71 @@
+"""Golden-model conformance: the README worked example and the brute-force
+oracle (SURVEY.md §4: cross-backend differential testing)."""
+import numpy as np
+import pytest
+
+from pfac_tpu import Automaton
+from pfac_tpu.backends import golden
+
+# README.md:96-120 worked example: input ABEDEDABG, patterns AB=1 ABG=2 BEDE=3 ED=4
+README_EXPECTED = [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+
+class TestConformanceCorpus:
+    def test_readme_example_dense(self, example_pattern_path, example_input):
+        a = Automaton.from_pattern_file(example_pattern_path)
+        got = golden.match_dense(a, example_input)
+        # input file has a trailing '\n' (position 9, no match)
+        assert got.tolist() == README_EXPECTED + [0]
+
+    def test_readme_example_hash(self, example_pattern_path, example_input):
+        a = Automaton.from_pattern_file(example_pattern_path, hashed=True)
+        got = golden.match_hash(a, example_input)
+        assert got.tolist() == README_EXPECTED + [0]
+
+    def test_example2_vs_oracle(self, example_pattern2_path, example_input2, oracle):
+        a = Automaton.from_pattern_file(example_pattern2_path, hashed=True)
+        pats = [b"s", b"h", b"he", b"she", b"hers", b"her", b"his", b"iis", b"is", b"ii"]
+        expected = oracle(pats, example_input2)
+        assert golden.match_dense(a, example_input2).tolist() == expected.tolist()
+        assert golden.match_hash(a, example_input2).tolist() == expected.tolist()
+
+
+class TestGoldenProperties:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_vs_oracle(self, seed, oracle):
+        rng = np.random.default_rng(seed)
+        alphabet = rng.integers(0, 256, size=4).astype(np.uint8)  # small alphabet
+        k = int(rng.integers(1, 12))
+        pats = []
+        for _ in range(k):
+            ln = int(rng.integers(1, 6))
+            pats.append(bytes(alphabet[rng.integers(0, len(alphabet), size=ln)]))
+        # dedupe? no — duplicates exercise the overwrite path
+        data = bytes(alphabet[rng.integers(0, len(alphabet), size=int(rng.integers(5, 200)))])
+        a = Automaton.from_patterns(pats, hashed=True)
+        expected = oracle(pats, data)
+        assert golden.match_dense(a, data).tolist() == expected.tolist()
+        assert golden.match_hash(a, data).tolist() == expected.tolist()
+
+    def test_overlapping_matches(self, oracle):
+        pats = [b"aa", b"aaa", b"aaaa"]
+        data = b"aaaaaaa"
+        a = Automaton.from_patterns(pats, hashed=True)
+        expected = oracle(pats, data)
+        assert golden.match_dense(a, data).tolist() == expected.tolist()
+        assert golden.match_hash(a, data).tolist() == expected.tolist()
+
+    def test_binary_input(self, oracle):
+        pats = [b"\x00\x00", b"\xff", b"\x00\xff\x00"]
+        data = bytes([0, 0, 255, 0, 255, 0, 0, 255])
+        a = Automaton.from_patterns(pats, hashed=True)
+        expected = oracle(pats, data)
+        assert golden.match_dense(a, data).tolist() == expected.tolist()
+        assert golden.match_hash(a, data).tolist() == expected.tolist()
+
+    def test_reduce(self):
+        m = np.array([1, 3, 4, 0, 4, 0, 2, 0, 0], dtype=np.int32)
+        ids, pos, n = golden.reduce_result(m)
+        assert n == 5
+        assert pos.tolist() == [0, 1, 2, 4, 6]
+        assert ids.tolist() == [1, 3, 4, 4, 2]
