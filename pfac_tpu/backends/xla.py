@@ -124,6 +124,81 @@ def _pad_len(n: int, tile: int, max_len: int) -> tuple[int, int]:
     return num_tiles, num_tiles * tile + max(max_len, 2)
 
 
+def dense_step_fn(table_flat: jax.Array):
+    """One automaton step for a vector of lanes, dense encoding."""
+
+    def step(state: jax.Array, ch: jax.Array) -> jax.Array:
+        return jnp.take(table_flat, state * STRIDE + ch)
+
+    return step
+
+
+def hash_step_fn(rp_off, rp_key, val_next, val_ch):
+    """One automaton step via the modulo-free perfect-hash probe."""
+
+    def step(state: jax.Array, ch: jax.Array) -> jax.Array:
+        off_row = jnp.take(rp_off, state)
+        key = jnp.take(rp_key, state)
+        # modulo-free (k*ch) mod 257: x = 256q + r  ==>  r - q (mod 257)
+        x = (key >> HASH_KEY_K_MASKBITS) * ch
+        beta = (x & 0xFF) - (x >> 8)
+        beta = jnp.where(beta < 0, beta + 257, beta)
+        slot = off_row + (beta & (key & HASH_KEY_S_MASK))
+        nxt = jnp.take(val_next, slot)
+        stored = jnp.take(val_ch, slot)
+        return jnp.where(stored == ch, nxt, 0)
+
+    return step
+
+
+def walk_tiles(
+    step,                      # (state_vec, ch_vec) -> next_state_vec
+    pair_state: jax.Array,     # int32 [257*257]
+    pair_match: jax.Array,     # int32 [257*257]
+    inp: jax.Array,            # int32 [num_tiles*tile + pad], sentinel-ized
+    *,
+    num_final: int,
+    max_len: int,
+    tile: int,
+    num_tiles: int,
+) -> jax.Array:
+    """Run failureless walks from every position of a sentinel-padded int32
+    input. Shared by the single-device matchers and the sharded path; the
+    caller guarantees `inp[j] == SENTINEL` for every j past the true end of
+    data (walks die there with no bounds checks)."""
+
+    def tile_body(carry, off):
+        c1 = jax.lax.dynamic_slice(inp, (off,), (tile,))
+        c2 = jax.lax.dynamic_slice(inp, (off + 1,), (tile,))
+        state = jnp.take(pair_state, c1 * STRIDE + c2)
+        match = jnp.take(pair_match, c1 * STRIDE + c2)
+
+        def cond(sc):
+            d, state, _ = sc
+            return jnp.logical_and(d < max_len, jnp.any(state > 0))
+
+        def body(sc):
+            d, state, match = sc
+            ch = jax.lax.dynamic_slice(inp, (off + d,), (tile,))
+            state = step(state, ch)
+            match = jnp.where((state > 0) & (state <= num_final), state, match)
+            return d + 1, state, match
+
+        if max_len > 2:
+            _, _, match = jax.lax.while_loop(cond, body, (jnp.int32(2), state, match))
+        return carry, match
+
+    offsets = jnp.arange(num_tiles, dtype=jnp.int32) * tile
+    _, matches = jax.lax.scan(tile_body, None, offsets)
+    return matches.reshape(num_tiles * tile)
+
+
+def sentinel_pad(data_u8: jax.Array, padded: int) -> jax.Array:
+    """uint8[N] -> int32[padded] with SENTINEL past position N."""
+    inp = jnp.full(padded, SENTINEL, dtype=jnp.int32)
+    return jax.lax.dynamic_update_slice(inp, data_u8.astype(jnp.int32), (0,))
+
+
 @functools.partial(jax.jit, static_argnames=("num_final", "max_len", "tile", "num_tiles"))
 def _match_dense_padded(
     table_flat: jax.Array,      # int32 [S*257]
@@ -136,35 +211,12 @@ def _match_dense_padded(
     tile: int,
     num_tiles: int,
 ) -> jax.Array:
-    n = data_u8.shape[0]
-    _, padded = _pad_len(n, tile, max_len)
-    inp = jnp.full(padded, SENTINEL, dtype=jnp.int32)
-    inp = jax.lax.dynamic_update_slice(inp, data_u8.astype(jnp.int32), (0,))
-
-    def tile_body(carry, off):
-        c1 = jax.lax.dynamic_slice(inp, (off,), (tile,))
-        c2 = jax.lax.dynamic_slice(inp, (off + 1,), (tile,))
-        state = jnp.take(pair_state, c1 * STRIDE + c2, indices_are_sorted=False)
-        match = jnp.take(pair_match, c1 * STRIDE + c2, indices_are_sorted=False)
-
-        def cond(sc):
-            d, state, _ = sc
-            return jnp.logical_and(d < max_len, jnp.any(state > 0))
-
-        def body(sc):
-            d, state, match = sc
-            ch = jax.lax.dynamic_slice(inp, (off + d,), (tile,))
-            state = jnp.take(table_flat, state * STRIDE + ch)
-            match = jnp.where((state > 0) & (state <= num_final), state, match)
-            return d + 1, state, match
-
-        if max_len > 2:
-            _, _, match = jax.lax.while_loop(cond, body, (jnp.int32(2), state, match))
-        return carry, match
-
-    offsets = jnp.arange(num_tiles, dtype=jnp.int32) * tile
-    _, matches = jax.lax.scan(tile_body, None, offsets)
-    return matches.reshape(num_tiles * tile)
+    _, padded = _pad_len(data_u8.shape[0], tile, max_len)
+    inp = sentinel_pad(data_u8, padded)
+    return walk_tiles(
+        dense_step_fn(table_flat), pair_state, pair_match, inp,
+        num_final=num_final, max_len=max_len, tile=tile, num_tiles=num_tiles,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_final", "max_len", "tile", "num_tiles"))
@@ -182,44 +234,12 @@ def _match_hash_padded(
     tile: int,
     num_tiles: int,
 ) -> jax.Array:
-    n = data_u8.shape[0]
-    _, padded = _pad_len(n, tile, max_len)
-    inp = jnp.full(padded, SENTINEL, dtype=jnp.int32)
-    inp = jax.lax.dynamic_update_slice(inp, data_u8.astype(jnp.int32), (0,))
-
-    def tile_body(carry, off):
-        c1 = jax.lax.dynamic_slice(inp, (off,), (tile,))
-        c2 = jax.lax.dynamic_slice(inp, (off + 1,), (tile,))
-        state = jnp.take(pair_state, c1 * STRIDE + c2)
-        match = jnp.take(pair_match, c1 * STRIDE + c2)
-
-        def cond(sc):
-            d, state, _ = sc
-            return jnp.logical_and(d < max_len, jnp.any(state > 0))
-
-        def body(sc):
-            d, state, match = sc
-            ch = jax.lax.dynamic_slice(inp, (off + d,), (tile,))
-            off_row = jnp.take(rp_off, state)
-            key = jnp.take(rp_key, state)
-            # modulo-free (k*ch) mod 257: x = 256q + r  ==>  r - q (mod 257)
-            x = (key >> HASH_KEY_K_MASKBITS) * ch
-            beta = (x & 0xFF) - (x >> 8)
-            beta = jnp.where(beta < 0, beta + 257, beta)
-            slot = off_row + (beta & (key & HASH_KEY_S_MASK))
-            nxt = jnp.take(val_next, slot)
-            stored = jnp.take(val_ch, slot)
-            state = jnp.where(stored == ch, nxt, 0)
-            match = jnp.where((state > 0) & (state <= num_final), state, match)
-            return d + 1, state, match
-
-        if max_len > 2:
-            _, _, match = jax.lax.while_loop(cond, body, (jnp.int32(2), state, match))
-        return carry, match
-
-    offsets = jnp.arange(num_tiles, dtype=jnp.int32) * tile
-    _, matches = jax.lax.scan(tile_body, None, offsets)
-    return matches.reshape(num_tiles * tile)
+    _, padded = _pad_len(data_u8.shape[0], tile, max_len)
+    inp = sentinel_pad(data_u8, padded)
+    return walk_tiles(
+        hash_step_fn(rp_off, rp_key, val_next, val_ch), pair_state, pair_match,
+        inp, num_final=num_final, max_len=max_len, tile=tile, num_tiles=num_tiles,
+    )
 
 
 @jax.jit

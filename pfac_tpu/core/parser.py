@@ -82,7 +82,9 @@ def patterns_from_list(
     """Build a ParsedPatterns from an explicit list (IDs = 1-based list order).
 
     This is the pythonic entry point the C library never had: callers can pass
-    patterns directly instead of round-tripping through a file.
+    patterns directly instead of round-tripping through a file. Unlike the
+    newline-delimited file format, patterns here may contain any byte value,
+    including 0x0A.
     """
     pats = []
     for p in patterns:
@@ -92,8 +94,6 @@ def patterns_from_list(
             raise PfacError(PfacStatus.INVALID_PARAMETER, f"pattern of type {type(p)!r}")
         if len(p) == 0:
             raise PfacError(PfacStatus.INVALID_PARAMETER, "empty pattern")
-        if b"\n" in p:
-            raise PfacError(PfacStatus.INVALID_PARAMETER, r"pattern contains '\n'")
         pats.append(bytes(p))
 
     k = len(pats)

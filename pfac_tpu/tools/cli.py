@@ -1,0 +1,122 @@
+"""Command-line tools: match + profile.
+
+Equivalent of the reference's `profiling.cpp` CLI benchmark
+(reference: PFAC/test/profiling.cpp:56-149,296-360) with TPU-appropriate
+reporting (GB/s per chip, device memory of the tables, match counts).
+
+Usage:
+  python -m pfac_tpu.tools.cli match  -P patterns.txt -I corpus.bin [options]
+  python -m pfac_tpu.tools.cli profile -P patterns.txt -I corpus.bin [options]
+
+Options mirror the reference flags where they make sense:
+  -P <file>   pattern file          (reference: -P)
+  -I <file>   input file            (reference: -I)
+  --space     space-driven (hashed) table   (reference: -S)
+  --platform  device|cpu|cpu_parallel        (reference: -TH/-TD/CPU paths)
+  --tile N    start positions per tile
+  --iters N   timed iterations (profile)
+  --sharded   use every visible chip via the data mesh
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_matcher(args):
+    from ..runtime.handle import Matcher
+
+    return Matcher(
+        pattern_file=args.patterns,
+        perf_mode="hash" if args.space else "dense",
+        platform=args.platform,
+        tile=args.tile,
+    )
+
+
+def cmd_match(args) -> int:
+    with open(args.input, "rb") as f:
+        data = f.read()
+    if args.sharded:
+        from ..core.automaton import Automaton
+        from ..dist.sharding import ShardedMatcher
+
+        a = Automaton.from_pattern_file(args.patterns)
+        m = ShardedMatcher(a, perf_mode="hash" if args.space else "dense")
+        ids, pos, n = m.match_reduce(data)
+    else:
+        m = _build_matcher(args)
+        ids, pos, n = m.match_reduce(data)
+    print(f"num_matched = {n}")
+    limit = n if args.all else min(n, args.head)
+    for i in range(limit):
+        print(f"At position {int(pos[i]):4d}, match pattern {int(ids[i])}")
+    if limit < n:
+        print(f"... ({n - limit} more; --all to print)")
+    return 0
+
+
+def cmd_profile(args) -> int:
+    import jax
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    n = len(data)
+    m = _build_matcher(args)
+    eng = m._engine()
+
+    data_dev = jax.device_put(np.frombuffer(data, dtype=np.uint8))
+    out = eng.match_device(data_dev)
+    out.block_until_ready()  # compile + warm
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = eng.match_device(data_dev)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    n_matched = int(np.asarray((out > 0).sum()))
+
+    report = {
+        "input_bytes": n,
+        "elapsed_ms": round(dt * 1e3, 3),
+        "throughput_GBps": round(n / dt / 1e9, 3),
+        "throughput_Gbps": round(n * 8 / dt / 1e9, 2),
+        "num_matched": n_matched,
+        "perf_mode": "space" if args.space else "time",
+        "num_states": m.automaton.num_states,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(report, indent=2))
+    sys.stdout.write(m.memory_usage())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pfac-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("match", "profile"):
+        sp = sub.add_parser(name)
+        sp.add_argument("-P", "--patterns", required=True)
+        sp.add_argument("-I", "--input", required=True)
+        sp.add_argument("-S", "--space", action="store_true")
+        sp.add_argument("--platform", default="device",
+                        choices=["device", "cpu", "cpu_parallel"])
+        sp.add_argument("--tile", type=int, default=None)
+        if name == "match":
+            sp.add_argument("--head", type=int, default=20)
+            sp.add_argument("--all", action="store_true")
+            sp.add_argument("--sharded", action="store_true")
+        else:
+            sp.add_argument("--iters", type=int, default=5)
+    args = p.parse_args(argv)
+    return cmd_match(args) if args.cmd == "match" else cmd_profile(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -5,11 +5,18 @@ deterministic and hardware-independent, per SURVEY.md §4.
 """
 import os
 
-# must happen before the first `import jax` anywhere in the test session
+# must happen before the first backend initialization anywhere in the session.
+# NB: this image's sitecustomize imports jax at interpreter startup (axon TPU
+# plugin), so env vars alone are captured too early — jax.config.update is the
+# authoritative override.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

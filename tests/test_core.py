@@ -45,9 +45,13 @@ class TestParser:
         with pytest.raises(PfacError):
             Automaton.from_patterns([])
 
-    def test_pattern_with_newline_rejected(self):
-        with pytest.raises(PfacError):
-            patterns_from_list([b"a\nb"])
+    def test_pattern_with_newline_allowed_in_list_api(self):
+        # the file format can't express 0x0A inside a pattern, but the
+        # pythonic list API can — and matching must handle it
+        from pfac_tpu.backends import golden
+
+        a = Automaton.from_patterns([b"a\nb"])
+        assert golden.match_dense(a, b"xa\nbx").tolist() == [0, 1, 0, 0, 0]
 
 
 class TestTrie:
