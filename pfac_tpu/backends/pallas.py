@@ -1,17 +1,49 @@
-"""Pallas TPU kernel backend (placeholder wiring; kernels land separately).
+"""Pallas backend selection.
 
-`try_build` returns None when no Pallas kernel is applicable, letting the
-runtime fall back to the XLA backend.
+`try_build` returns a LadderMatcher when the Pallas path supports the
+configuration, else None (the runtime falls back to the XLA matcher).
+On non-TPU default backends the kernel only runs in interpret mode, which
+is for testing — `required=True` (backend="pallas") forces it anyway.
 """
 from __future__ import annotations
 
 from ..status import PfacError, PfacStatus
 
+# lane-replicated tables live in VMEM; leave room for the input/output tiles
+_VMEM_TABLE_BUDGET = 8 << 20
+
+
+def _default_platform() -> str:
+    import jax
+
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
+
 
 def try_build(automaton, mode, *, placement, tile, device, required: bool):
-    if required:
-        raise PfacError(
-            PfacStatus.INVALID_PARAMETER,
-            "pallas backend not yet available for this configuration",
+    del mode  # the ladder kernel subsumes dense/hash: identical semantics
+    del placement
+    from .pallas_ladder import LadderMatcher, LadderTables
+
+    on_tpu = _default_platform() == "tpu"
+    if not on_tpu and not required:
+        return None
+    try:
+        tables = LadderTables.build(automaton)
+        if tables.vmem_bytes > _VMEM_TABLE_BUDGET:
+            raise PfacError(
+                PfacStatus.INVALID_PARAMETER,
+                f"ladder tables need {tables.vmem_bytes} bytes of VMEM",
+            )
+        kw = {}
+        if tile:
+            kw["tile_rows"] = max(8, tile // 128)
+        return LadderMatcher(
+            automaton, interpret=not on_tpu, device=device, **kw
         )
-    return None
+    except PfacError:
+        if required:
+            raise
+        return None

@@ -1,0 +1,199 @@
+"""CHD (compress-hash-displace) hash tables for the Pallas ladder kernel.
+
+The TPU v5e vector unit has no general per-lane gather: the only fast
+data-dependent addressing is an 8-row in-register sublane gather
+(~10 cycles per 1024 lanes, measured in experiments/dyngather_micro.py).
+Every kernel-side table is therefore scanned as a sequence of 8x128
+"planes" whose cost is linear in table size — so tables must be as small
+and as packed as possible. CHD gives minimal-size exact/near-exact tables:
+
+* slot(v) = (h1(v) XOR disp[h0(v) mod B]) mod R — two multiplicative
+  hashes plus a displacement array searched at build time so all keys
+  land in distinct slots.
+* "exact" tables store (key16 | value15 | valid1) in one int32 word —
+  used for final-match IDs where false positives are unacceptable.
+* "residual" tables store only an 8-bit secondary hash per slot (4 per
+  word) — used for the continue-walking filter where a ~2^-8 false
+  positive just sends a position to the exact XLA tail.
+
+All hash arithmetic is in wrapping 32-bit integers with shift-and-mask
+so the kernel can reproduce it with signed-int32 VPU ops.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# multiplicative mix constants (odd, high-entropy)
+MIX_BUCKET = np.uint32(0x9E3779B1)
+MIX_SLOT = np.uint32(0x85EBCA6B)
+MIX_RESID = np.uint32(0xC2B2AE35)
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(3, int(np.ceil(np.log2(max(1, x)))))
+
+
+def _h_bucket(keys: np.ndarray, b: int) -> np.ndarray:
+    lg = int(np.log2(b))
+    return ((keys.astype(np.uint32) * MIX_BUCKET) >> np.uint32(32 - lg)).astype(np.int64) & (b - 1)
+
+
+def slot_multiplier(salt: int) -> int:
+    """Salted odd multiplier for the slot hash (salt baked into the kernel)."""
+    return ((int(MIX_SLOT) + 2 * salt * 0x27D4EB2F) | 1) & 0xFFFFFFFF
+
+
+def _h_slot(keys: np.ndarray, r: int, salt: int = 0) -> np.ndarray:
+    lg = int(np.log2(r))
+    m = np.uint32(slot_multiplier(salt))
+    return ((keys.astype(np.uint32) * m) >> np.uint32(32 - lg)).astype(np.int64) & (r - 1)
+
+
+def h_resid(keys: np.ndarray, bits: int = 8) -> np.ndarray:
+    return ((keys.astype(np.uint32) * MIX_RESID) >> np.uint32(32 - bits)).astype(np.int64) & ((1 << bits) - 1)
+
+
+@dataclasses.dataclass
+class ChdTable:
+    """A built CHD table. slots[] meaning depends on the flavor."""
+
+    disp: np.ndarray        # uint16 [B] displacement per bucket
+    slot_words: np.ndarray  # int32 [R_words] packed payload
+    num_buckets: int
+    num_slots: int
+    kind: str               # "exact" | "resid"
+    salt: int = 0
+    lg_slots: int = 0
+
+    def __post_init__(self):
+        self.lg_slots = int(np.log2(self.num_slots))
+
+
+def _assign_slots(keys: np.ndarray, r: int, b: int, salt: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """CHD displacement search. Returns (disp[B], slot_of_key[n]) or None."""
+    n = keys.shape[0]
+    buckets = _h_bucket(keys, b)
+    h1 = _h_slot(keys, r, salt)
+    order = np.argsort(-np.bincount(buckets, minlength=b))  # big buckets first
+    by_bucket: list[list[int]] = [[] for _ in range(b)]
+    for i, bk in enumerate(buckets):
+        by_bucket[bk].append(i)
+
+    disp = np.zeros(b, dtype=np.uint16)
+    occupied = np.zeros(r, dtype=bool)
+    slot_of = np.full(n, -1, dtype=np.int64)
+    for bk in order:
+        members = by_bucket[bk]
+        if not members:
+            continue
+        hs = h1[members]
+        if len(set(hs.tolist())) != len(members):
+            return None  # intra-bucket h1 collision: caller must grow R
+        found = False
+        for d in range(min(65536, 4 * r)):
+            slots = (hs ^ d) & (r - 1)
+            if not occupied[slots].any():
+                occupied[slots] = True
+                slot_of[members] = slots
+                disp[bk] = d
+                found = True
+                break
+        if not found:
+            return None
+    return disp, slot_of
+
+
+def _build(keys: np.ndarray, r: int | None = None) -> tuple[np.ndarray, np.ndarray, int, int, int]:
+    """Search (R, B, salt) combos in ascending kernel-cost order.
+
+    Kernel probe cost is linear in table words scanned, so prefer the
+    tightest R (even at ~0.98 load) with the smallest workable B.
+    """
+    keys = np.asarray(keys, dtype=np.uint32)
+    n = keys.shape[0]
+    if np.unique(keys).shape[0] != n:
+        raise ValueError("CHD keys must be unique")
+    r_min = r or _pow2(int(np.ceil(n * 1.02)))
+    candidates = []
+    for r_try in (r_min, r_min * 2, r_min * 4, r_min * 8):
+        for b_try in (_pow2(max(8, n // 8)), _pow2(max(8, n // 4)),
+                      _pow2(max(8, n // 2)), _pow2(max(8, n))):
+            candidates.append((r_try, b_try))
+    # ascending total scanned words (resid packing: R/4 + B/2 as proxy)
+    candidates.sort(key=lambda rb: rb[0] + rb[1])
+    seen = set()
+    for r_try, b_try in candidates:
+        if (r_try, b_try) in seen:
+            continue
+        seen.add((r_try, b_try))
+        for salt in range(24):
+            res = _assign_slots(keys, r_try, b_try, salt)
+            if res is not None:
+                disp, slot_of = res
+                return disp, slot_of, r_try, b_try, salt
+    raise RuntimeError("CHD build failed to converge")
+
+
+def build_exact(keys: np.ndarray, values: np.ndarray) -> ChdTable:
+    """Exact table: word = key16<<16 | value15<<1 | 1; empty = 0.
+
+    keys must be < 2^16; values < 2^15 (enforced by caller).
+    """
+    keys = np.asarray(keys, dtype=np.uint32)
+    values = np.asarray(values, dtype=np.uint32)
+    if keys.size == 0:
+        return ChdTable(disp=np.zeros(8, np.uint16), slot_words=np.zeros(8, np.int32),
+                        num_buckets=8, num_slots=8, kind="exact")
+    assert keys.max() < (1 << 16) and values.max() < (1 << 15)
+    disp, slot_of, r, b, salt = _build(keys)
+    words = np.zeros(r, dtype=np.uint32)
+    words[slot_of] = (keys << np.uint32(16)) | (values << np.uint32(1)) | np.uint32(1)
+    return ChdTable(disp=disp, slot_words=words.astype(np.int32),
+                    num_buckets=b, num_slots=r, kind="exact", salt=salt)
+
+
+def build_resid(keys: np.ndarray, bits: int = 16) -> ChdTable:
+    """Residual membership filter: a `bits`-wide secondary hash per slot
+    (16-bit default: 2 per int32 word, FP ~2^-16); empty slots hold an
+    arbitrary value — a false positive only costs exact-tail time."""
+    assert bits in (8, 16)
+    per_word = 32 // bits
+    keys = np.asarray(keys, dtype=np.uint32)
+    if keys.size == 0:
+        return ChdTable(disp=np.zeros(8, np.uint16), slot_words=np.zeros(8, np.int32),
+                        num_buckets=8, num_slots=8, kind=f"resid{bits}")
+    disp, slot_of, r, b, salt = _build(keys)
+    resid = np.full(r, 0xAAAA & ((1 << bits) - 1), dtype=np.uint32)
+    resid[slot_of] = h_resid(keys, bits)
+    words = np.zeros(r // per_word, dtype=np.uint32)
+    for j in range(per_word):
+        words |= resid[j::per_word] << np.uint32(bits * j)
+    return ChdTable(disp=disp, slot_words=words.astype(np.int32),
+                    num_buckets=b, num_slots=r, kind=f"resid{bits}", salt=salt)
+
+
+def lookup_exact(t: ChdTable, key: int) -> int:
+    """Host-side oracle for the kernel's exact probe: value+1 if present, 0."""
+    k = np.uint32(key)
+    bk = int(_h_bucket(np.array([k], np.uint32), t.num_buckets)[0])
+    h1 = int(_h_slot(np.array([k], np.uint32), t.num_slots, t.salt)[0])
+    slot = (h1 ^ int(t.disp[bk])) & (t.num_slots - 1)
+    w = int(np.uint32(t.slot_words[slot]))
+    if (w & 1) and (w >> 16) == int(key) and key < (1 << 16):
+        return ((w >> 1) & 0x7FFF) + 1
+    return 0
+
+
+def lookup_resid(t: ChdTable, key: int) -> bool:
+    """Host-side oracle for the residual probe (may false-positive)."""
+    bits = 8 if t.kind == "resid8" else 16
+    per_word = 32 // bits
+    k = np.uint32(key)
+    bk = int(_h_bucket(np.array([k], np.uint32), t.num_buckets)[0])
+    h1 = int(_h_slot(np.array([k], np.uint32), t.num_slots, t.salt)[0])
+    slot = (h1 ^ int(t.disp[bk])) & (t.num_slots - 1)
+    w = int(np.uint32(t.slot_words[slot // per_word]))
+    stored = (w >> (bits * (slot % per_word))) & ((1 << bits) - 1)
+    return stored == int(h_resid(np.array([k], np.uint32), bits)[0])
