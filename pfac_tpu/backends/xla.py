@@ -50,7 +50,19 @@ DEFAULT_TILE = 1 << 17  # 128K start positions per tile
 # --------------------------------------------------------------------------
 
 def dense_device_table(automaton: Automaton) -> np.ndarray:
-    """Dense device table int32[S, 257]: trap -> 0, row 0 = 0, col 256 = 0."""
+    """Dense device table int32[S, 257]: trap -> 0, row 0 = 0, col 256 = 0.
+
+    Built straight from the trie's edge list over a calloc'd zero array —
+    the trap entries are implicit, so no O(S*256) fill pass is needed
+    (np.full on half-GB tables costs seconds in this environment).
+    """
+    if automaton.trie is not None:
+        e = automaton.trie.edges_array()
+        dev = np.zeros((automaton.num_states, STRIDE), dtype=np.int32)
+        if e.size:
+            dev[e[:, 0], e[:, 1]] = e[:, 2]
+        dev[0, :] = 0
+        return dev
     src = automaton.ensure_dense().table  # [S, 256], trap = -1
     s = src.shape[0]
     dev = np.zeros((s, STRIDE), dtype=np.int32)

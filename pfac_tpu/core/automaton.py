@@ -71,11 +71,63 @@ class Automaton:
 
     @classmethod
     def from_pattern_file(cls, path: str, **kw) -> "Automaton":
-        return cls.from_parsed(parse_pattern_file(path), **kw)
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError as e:
+            raise PfacError(PfacStatus.FILE_OPEN_ERROR, str(e)) from e
+        return cls.from_pattern_bytes(data, **kw)
 
     @classmethod
     def from_pattern_bytes(cls, data: bytes, **kw) -> "Automaton":
+        nat = cls._from_native(data, **kw)
+        if nat is not None:
+            return nat
         return cls.from_parsed(parse_pattern_bytes(data), **kw)
+
+    @classmethod
+    def _from_native(cls, data: bytes, *, dense: bool = True, hashed: bool = False):
+        """Fast path through the C++ host compiler (core/native.py);
+        returns None when the native library is unavailable."""
+        from . import native
+
+        out = native.compile_patterns(data)
+        if out is None or "error" in out:
+            return None
+        rows: list[list[tuple[int, int]]] = [[] for _ in range(out["num_states"])]
+        for s, ch, nxt in out["edges"]:
+            rows[int(s)].append((int(ch), int(nxt)))
+        trie = CompactTrie(
+            rows=rows,
+            num_states=out["num_states"],
+            num_final_states=out["num_patterns"],
+            initial_state=out["initial_state"],
+            num_leaves=out["num_leaves"],
+        )
+        trie._edges = np.ascontiguousarray(out["edges"], dtype=np.int32)
+        lens = np.asarray(out["pat_len_by_id"], dtype=np.int32)
+        pattern_ids = np.asarray(out["pat_id"], dtype=np.int32)
+        sorted_patterns = tuple(
+            bytes(data[int(o) : int(o) + int(lens[int(pid)])])
+            for o, pid in zip(out["pat_offset"], pattern_ids)
+        )
+        a = cls(
+            num_states=trie.num_states,
+            num_final_states=trie.num_final_states,
+            initial_state=trie.initial_state,
+            num_leaves=trie.num_leaves,
+            max_pattern_len=int(lens.max()) if lens.size else 0,
+            pattern_ids=pattern_ids,
+            pattern_lens=lens,
+            sorted_patterns=sorted_patterns,
+            trie=trie,
+        )
+        if hashed:
+            a.ensure_hash()
+        # dense stays lazy: the device paths build their table from the
+        # edge list directly; the host matrix is only materialized for the
+        # golden model / table dump.
+        return a
 
     def ensure_dense(self) -> DenseTable:
         if self.dense is None:

@@ -72,11 +72,23 @@ class ChdTable:
 
 
 def _assign_slots(keys: np.ndarray, r: int, b: int, salt: int) -> tuple[np.ndarray, np.ndarray] | None:
-    """CHD displacement search. Returns (disp[B], slot_of_key[n]) or None."""
+    """CHD displacement search. Returns (disp[B], slot_of_key[n]) or None.
+
+    The native C++ implementation (native/pfac_host.cpp::chd_assign) is
+    used when available; this Python version is the oracle and fallback.
+    Both iterate buckets in stable big-first order so results are
+    bit-identical.
+    """
+    from . import native
+
+    nat = native.chd_assign(keys, r, b, slot_multiplier(salt))
+    if nat is not NotImplemented:
+        return nat  # (disp, slot_of) or None (infeasible)
+
     n = keys.shape[0]
     buckets = _h_bucket(keys, b)
     h1 = _h_slot(keys, r, salt)
-    order = np.argsort(-np.bincount(buckets, minlength=b))  # big buckets first
+    order = np.argsort(-np.bincount(buckets, minlength=b), kind="stable")
     by_bucket: list[list[int]] = [[] for _ in range(b)]
     for i, bk in enumerate(buckets):
         by_bucket[bk].append(i)

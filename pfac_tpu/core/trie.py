@@ -38,6 +38,9 @@ class CompactTrie:
     initial_state: int       # == k + 1
     num_leaves: int          # patterns that are not a proper prefix of another
 
+    #: optional cached (E, 3) int32 edge array (state, ch, next)
+    _edges: "object" = None
+
     def lookup(self, state: int, ch: int) -> int:
         if state >= len(self.rows):
             return TRAP_STATE
@@ -45,6 +48,19 @@ class CompactTrie:
             if c == ch:
                 return nxt
         return TRAP_STATE
+
+    def edges_array(self):
+        """All transitions as an int32 [E, 3] array of (state, ch, next)."""
+        import numpy as np
+
+        if self._edges is None:
+            trip = [
+                (s, ch, nxt)
+                for s, row in enumerate(self.rows)
+                for ch, nxt in row
+            ]
+            self._edges = np.asarray(trip, dtype=np.int32).reshape(-1, 3)
+        return self._edges
 
 
 def build_trie(parsed: ParsedPatterns) -> CompactTrie:
