@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 CORPUS_MB = 64
-N_ITERS = 5
+N_ITERS = 3
+K_BATCH = 8
 BASELINE_GBPS = 208.53 / 8.0  # 26.07 GB/s
 
 
@@ -82,15 +83,24 @@ def main() -> None:
     _ = np.asarray(out[:8])
 
     # NB: on this platform block_until_ready() can return before execution
-    # completes (relay pipelining); a small D2H transfer is the only honest
-    # completion barrier, so we time a batch of dispatches ending in one.
-    times = []
-    for _ in range(N_ITERS):
+    # completes, and a tiny D2H transfer costs a ~30 ms tunnel round trip.
+    # Honest per-iteration time therefore comes from amortization: time K
+    # dispatches ending in ONE barrier vs 1 dispatch + barrier, and report
+    # (t_K - t_1) / (K - 1). TPU programs execute in order, so the final
+    # barrier implies completion of the whole batch.
+    def batch(k: int) -> float:
         t0 = time.perf_counter()
-        out = eng.match_device(data_dev)
+        out = None
+        for _ in range(k):
+            out = eng.match_device(data_dev)
         _ = np.asarray(out[:8])
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        return time.perf_counter() - t0
+
+    t1 = min(batch(1) for _ in range(N_ITERS))
+    tk = min(batch(K_BATCH) for _ in range(N_ITERS))
+    dt = (tk - t1) / (K_BATCH - 1)
+    if hasattr(eng, "flush_checks"):
+        eng.flush_checks()                    # validate deferred survivor caps
     gbps = n / dt / 1e9
 
     n_matched = int(np.asarray((out > 0).sum()))

@@ -1,9 +1,11 @@
 """Pallas backend selection.
 
-`try_build` returns a LadderMatcher when the Pallas path supports the
+`try_build` returns the fastest Pallas matcher that supports the
 configuration, else None (the runtime falls back to the XLA matcher).
-On non-TPU default backends the kernel only runs in interpret mode, which
-is for testing — `required=True` (backend="pallas") forces it anyway.
+Preference order: sieve (backends/pallas_sieve.py) then ladder
+(backends/pallas_ladder.py). On non-TPU default backends the kernels run
+only in interpret mode, which is for testing — `required=True`
+(backend="pallas") forces it anyway.
 """
 from __future__ import annotations
 
@@ -23,13 +25,27 @@ def _default_platform() -> str:
 
 
 def try_build(automaton, mode, *, placement, tile, device, required: bool):
-    del mode  # the ladder kernel subsumes dense/hash: identical semantics
+    del mode  # the sieve/ladder kernels subsume dense/hash: same semantics
     del placement
-    from .pallas_ladder import LadderMatcher, LadderTables
-
     on_tpu = _default_platform() == "tpu"
     if not on_tpu and not required:
         return None
+
+    from .pallas_sieve import SieveMatcher, SieveTables
+
+    try:
+        tables = SieveTables.build(automaton)
+        if tables.vmem_bytes > _VMEM_TABLE_BUDGET:
+            raise PfacError(
+                PfacStatus.INVALID_PARAMETER,
+                f"sieve tables need {tables.vmem_bytes} bytes of VMEM",
+            )
+        return SieveMatcher(automaton, interpret=not on_tpu, device=device)
+    except PfacError:
+        pass
+
+    from .pallas_ladder import LadderMatcher, LadderTables
+
     try:
         tables = LadderTables.build(automaton)
         if tables.vmem_bytes > _VMEM_TABLE_BUDGET:

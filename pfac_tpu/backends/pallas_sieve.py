@@ -1,0 +1,567 @@
+"""Pallas TPU "sieve" match kernel — second-generation device matcher.
+
+TPU-native answer to the reference's CUDA inner loop (reference:
+PFAC/src/PFAC_kernel.cu:377-458). Supersedes the ladder kernel
+(backends/pallas_ladder.py) after honest profiling showed the ladder's
+cost split at 64 MB: prologue 6 ms + probe kernel 17 ms + XLA tail/
+compaction 53 ms. The sieve removes all three bottlenecks:
+
+* **In-kernel byte assembly.** The raw uint8 corpus streams straight into
+  the kernel; c1/c2/c3 shifted byte streams are built with in-register
+  lane rolls (``pltpu.roll``) + a one-row halo block — no 512 MB of
+  packed-stream HBM traffic, no separate prologue dispatch.
+
+* **Depth-1..3 exact, depth>=4 filtered.** Per position:
+    - m1: direct 256-entry table (len-1 pattern IDs),
+    - m2: CHD exact probe on (c0,c1) (len-2 IDs),
+    - m3: CHD wide-exact probe on (c0..c2) — full 24-bit key compared,
+    - alive: CHD 16-bit-residual probe on the exact 32-bit key (c0..c3):
+      "could a len>=4 pattern start here?" False positives ~2^-16.
+  All tables use a lane-major layout probed by the VPU's dynamic lane
+  gather (measured ~2 cy/plane amortized, experiments/lanegather2).
+  Keying the tail on FOUR bytes cuts survivors ~256x vs the ladder's
+  3-byte fingerprint: on random data the tail population is ~1e-5 of
+  positions (dominated by the residual FP rate).
+
+* **Row-gather compaction + staged tail.** Survivor extraction uses
+  per-1024-block bitmaps emitted by the kernel; XLA-side compaction does
+  row gathers only (measured 34-53 G elem/s vs 0.12 G elem/s for
+  element gathers on this chip). The exact tail re-walks survivors from
+  scratch over the dense table in two depth stages so rare deep walks
+  don't hold the whole batch lockstep.
+
+Output contract matches the reference exactly: result[i] = ID of the
+longest pattern starting at byte i, else 0 (PFAC_matchFromHost,
+reference: PFAC/src/PFAC_CPU.cpp:76-96).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import chd
+from ..core.automaton import Automaton
+from ..status import PfacError, PfacStatus
+from .xla import dense_device_table, _to_u8
+
+LANES = 128
+TILE_ROWS = 512                # positions per grid step = TILE_ROWS * 128
+SUB = TILE_ROWS // 8           # (8,128) row-groups per grid step
+UNROLL = 4                     # row-groups per fori iteration (ILP)
+HALO_ROWS = 32                 # uint8 tile height: one min-tile of halo
+
+_I32 = lambda x: jnp.int32(np.int32(np.uint32(x)))
+
+
+# --------------------------------------------------------------------------
+# host-side table construction
+# --------------------------------------------------------------------------
+
+def _expand_planes(words: np.ndarray) -> np.ndarray:
+    """words[W] int32 -> (P*8, 128) lane-major planes: plane p holds
+    words[p*128:(p+1)*128] replicated across its 8 sublanes, so a probe is
+    one dynamic lane gather + one plane-select per plane."""
+    w = np.asarray(words, dtype=np.int32)
+    p = max(1, -(-w.shape[0] // LANES))
+    pad = np.zeros(p * LANES, np.int32)
+    pad[: w.shape[0]] = w
+    return np.repeat(pad.reshape(p, 1, LANES), 8, axis=1).reshape(p * 8, LANES)
+
+
+def _pack_u16(vals: np.ndarray) -> np.ndarray:
+    """uint16 values packed 2 per int32 word."""
+    v = np.asarray(vals, dtype=np.uint32)
+    w = np.zeros((v.shape[0] + 1) // 2, dtype=np.uint32)
+    w |= v[0::2]
+    w[: v[1::2].shape[0]] |= v[1::2] << np.uint32(16)
+    return w.astype(np.int32)
+
+
+@dataclasses.dataclass
+class _Probe:
+    """One CHD probe's device arrays + static config."""
+    disp: np.ndarray           # lane-major planes of packed u16 displacements
+    words: np.ndarray          # lane-major planes of payload words
+    keyw: np.ndarray | None    # lane-major planes of key words (wide exact)
+    lg_b: int
+    lg_r: int
+    slot_mul: int
+
+    @classmethod
+    def from_chd(cls, t: chd.ChdTable, key_words: np.ndarray | None = None):
+        return cls(
+            disp=_expand_planes(_pack_u16(t.disp)),
+            words=_expand_planes(t.slot_words),
+            keyw=_expand_planes(key_words) if key_words is not None else None,
+            lg_b=int(np.log2(t.num_buckets)),
+            lg_r=t.lg_slots,
+            slot_mul=chd.slot_multiplier(t.salt),
+        )
+
+    @property
+    def arrays(self) -> list[np.ndarray]:
+        out = [self.disp, self.words]
+        if self.keyw is not None:
+            out.append(self.keyw)
+        return out
+
+
+@dataclasses.dataclass
+class SieveTables:
+    m1: np.ndarray | None      # (16,128) direct table planes, or None
+    m2: _Probe | None          # exact16 on (c0<<8|c1)
+    m3: _Probe | None          # wide exact on (c0<<16|c1<<8|c2)
+    alive: _Probe | None       # resid16 on (c0<<24|c1<<16|c2<<8|c3)
+    vmem_bytes: int
+
+    @classmethod
+    def build(cls, automaton: Automaton) -> "SieveTables":
+        if automaton.num_final_states > 0x7FFF:
+            raise PfacError(
+                PfacStatus.INVALID_PARAMETER,
+                "pallas sieve supports <= 32767 patterns",
+            )
+        len1, len2, len3 = {}, {}, {}
+        alive_keys = set()
+        for idx, pat in enumerate(automaton.sorted_patterns):
+            pid = int(automaton.pattern_ids[idx])
+            if len(pat) == 1:
+                len1[pat[0]] = pid                   # later duplicate wins
+            elif len(pat) == 2:
+                len2[(pat[0] << 8) | pat[1]] = pid
+            elif len(pat) == 3:
+                len3[(pat[0] << 16) | (pat[1] << 8) | pat[2]] = pid
+            else:
+                alive_keys.add(
+                    (pat[0] << 24) | (pat[1] << 16) | (pat[2] << 8) | pat[3]
+                )
+
+        m1 = None
+        if len1:
+            t = np.zeros(256, np.int32)
+            for ch, pid in len1.items():
+                t[ch] = pid
+            m1 = _expand_planes(t)
+
+        m2 = None
+        if len2:
+            ks = np.array(sorted(len2.keys()), dtype=np.uint32)
+            vs = np.array([len2[int(k)] for k in ks], dtype=np.uint32)
+            m2 = _Probe.from_chd(chd.build_exact(ks, vs))
+
+        m3 = None
+        if len3:
+            ks = np.array(sorted(len3.keys()), dtype=np.uint32)
+            vs = np.array([len3[int(k)] for k in ks], dtype=np.uint32)
+            t, kw = chd.build_exact_wide(ks, vs)
+            m3 = _Probe.from_chd(t, kw)
+
+        alive = None
+        if alive_keys:
+            ks = np.array(sorted(alive_keys), dtype=np.int64).astype(np.uint32)
+            alive = _Probe.from_chd(chd.build_resid(ks, bits=16))
+
+        vmem = 0
+        if m1 is not None:
+            vmem += m1.size * 4
+        for p in (m2, m3, alive):
+            if p is not None:
+                vmem += sum(a.size for a in p.arrays) * 4
+        return cls(m1=m1, m2=m2, m3=m3, alive=alive, vmem_bytes=vmem)
+
+    @property
+    def arrays(self) -> list[np.ndarray]:
+        out = []
+        if self.m1 is not None:
+            out.append(self.m1)
+        for p in (self.m2, self.m3, self.alive):
+            if p is not None:
+                out.extend(p.arrays)
+        return out
+
+
+# --------------------------------------------------------------------------
+# kernel
+# --------------------------------------------------------------------------
+
+def _lookup(ref, w):
+    """table[w] for (8,128) int32 word indices w, against a lane-major
+    plane table ref of shape (P*8, 128): planes are scanned with the
+    plane-select fused into one compare, the in-plane word fetched with
+    the VPU's dynamic lane gather."""
+    n_planes = ref.shape[0] // 8
+    lane = w & 127
+    if n_planes == 1:
+        return jnp.take_along_axis(ref[0:8, :], lane, axis=1)
+    pno = w >> 7
+    acc = jnp.take_along_axis(ref[0:8, :], lane, axis=1)
+    for p in range(1, n_planes):
+        g = jnp.take_along_axis(ref[p * 8:(p + 1) * 8, :], lane, axis=1)
+        acc = jnp.where(pno == p, g, acc)
+    return acc
+
+
+def _probe_slot(disp_planes, key, lg_b, lg_r, slot_mul):
+    bk = (key * _I32(chd.MIX_BUCKET)) >> (32 - lg_b) & ((1 << lg_b) - 1)
+    wd = _lookup(disp_planes, bk >> 1)
+    # uniform shift + select beats a per-lane variable shift on the VPU
+    d = jnp.where((bk & 1) == 1, wd >> 16, wd) & 0xFFFF
+    h1 = (key * _I32(slot_mul)) >> (32 - lg_r) & ((1 << lg_r) - 1)
+    return (h1 ^ d) & ((1 << lg_r) - 1)
+
+
+def _make_kernel(tables: SieveTables, grid: int):
+    has_m1 = tables.m1 is not None
+    m2, m3, alive = tables.m2, tables.m3, tables.alive
+
+    def kernel(n_ref, data_ref, halo_ref, *refs):
+        i = 0
+        if has_m1:
+            m1_planes = refs[i]; i += 1
+        if m2 is not None:
+            m2_disp, m2_words = refs[i], refs[i + 1]
+            i += 2
+        if m3 is not None:
+            m3_disp, m3_words, m3_keyw = refs[i], refs[i + 1], refs[i + 2]
+            i += 3
+        if alive is not None:
+            al_disp, al_words = refs[i], refs[i + 1]
+            i += 2
+        out_ref, bits_ref = refs[i], refs[i + 1]
+        k2_ref, k3_ref, k4_ref = refs[i + 2], refs[i + 3], refs[i + 4]
+
+        g = pl.program_id(0)
+        n = n_ref[0, 0]
+
+        # ---- byte assembly: c0..c3 for every position, via lane rolls
+        x = data_ref[:].astype(jnp.int32)                 # (TR,128) = c0
+        halo0 = halo_ref[0:1, :].astype(jnp.int32)        # next block's row 0
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+        xu = pltpu.roll(x, TILE_ROWS - 1, 0)              # row r -> row r+1
+        xu = jnp.where(rows == TILE_ROWS - 1,
+                       jnp.broadcast_to(halo0, (TILE_ROWS, LANES)), xu)
+
+        def shifted(k):
+            a = pltpu.roll(x, LANES - k, 1)               # lane j -> j+k
+            b = pltpu.roll(xu, LANES - k, 1)
+            return jnp.where(lanes >= LANES - k, b, a)
+
+        c1, c2, c3 = shifted(1), shifted(2), shifted(3)
+
+        key2 = (x << 8) | c1
+        key3 = (key2 << 8) | c2
+        key4 = (key3 << 8) | c3
+        k2_ref[:] = key2
+        k3_ref[:] = key3
+        k4_ref[:] = key4
+
+        # per-row-group position base (for end-of-input masking)
+        base8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
+                 + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1))
+        g_off = g * (TILE_ROWS * LANES)
+
+        # ---- per row-group probes
+        def sub_blk(r, _):
+            for u in range(UNROLL):
+                rr = r * UNROLL + u
+                sl = lambda ref: ref[pl.ds(rr * 8, 8), :]
+                p8 = base8 + (g_off + rr * (8 * LANES))
+                match = jnp.zeros((8, LANES), jnp.int32)
+                if has_m1:
+                    match = _lookup(m1_planes, sl(data_ref).astype(jnp.int32))
+                if m2 is not None:
+                    k = sl(k2_ref)
+                    slot = _probe_slot(m2_disp, k, m2.lg_b, m2.lg_r, m2.slot_mul)
+                    w = _lookup(m2_words, slot)
+                    # real entries are odd (valid bit), so w != 0 excludes
+                    # empty slots — cheaper than testing the valid bit, and
+                    # required: key 0 probing an empty slot must not clobber
+                    # an m1 match with value 0
+                    hit = (((w >> 16) & 0xFFFF) == k) & (w != 0) & (p8 + 1 < n)
+                    match = jnp.where(hit, (w >> 1) & 0x7FFF, match)
+                if m3 is not None:
+                    k = sl(k3_ref)
+                    slot = _probe_slot(m3_disp, k, m3.lg_b, m3.lg_r, m3.slot_mul)
+                    w = _lookup(m3_words, slot)
+                    kw = _lookup(m3_keyw, slot)     # empty key word = -1
+                    hit = (kw == k) & (p8 + 2 < n)
+                    match = jnp.where(hit, (w >> 1) & 0x7FFF, match)
+                out = jnp.where(p8 < n, match, 0)
+                if alive is not None:
+                    k = sl(k4_ref)
+                    slot = _probe_slot(al_disp, k, alive.lg_b, alive.lg_r,
+                                       alive.slot_mul)
+                    w = _lookup(al_words, slot >> 1)
+                    r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
+                    expect = ((k * _I32(chd.MIX_RESID)) >> 16) & 0xFFFF
+                    a = (r16 == expect) & (p8 + 3 < n)
+                    out = out | (a.astype(jnp.int32) << 30)
+                out_ref[pl.ds(rr * 8, 8), :] = out
+            return 0
+
+        jax.lax.fori_loop(0, SUB // UNROLL, sub_blk, 0)
+
+        # ---- pack alive bits: one int32 word per (8,128) row-group column
+        w = out_ref[:]
+        a3 = ((w >> 30) & 1).reshape(SUB, 8, LANES)
+        s = jax.lax.broadcasted_iota(jnp.int32, (SUB, 8, LANES), 1)
+        bits_ref[:] = jnp.sum(a3 << s, axis=1)
+        out_ref[:] = w & ~(1 << 30)
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# XLA wrapper: compaction (row gathers only) + staged exact tail
+# --------------------------------------------------------------------------
+
+def _compact(bits: jax.Array, cap: int, npad: int):
+    """bits: (nb, 128) per-row-group alive bitmaps (bit s of lane j =
+    position group*1024 + s*128 + j). Returns (pos[cap], count); padding
+    entries hold npad (dropped by the scatter)."""
+    nb = bits.shape[0]
+    counts = jax.lax.population_count(bits).sum(axis=1)        # (nb,)
+    bcum = jnp.cumsum(counts)
+    count = bcum[-1]
+    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    lo = jnp.zeros(cap, jnp.int32)
+    hi = jnp.full(cap, nb, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(2, nb)))) + 1):
+        mid = (lo + hi) >> 1
+        v = jnp.take(bcum, jnp.minimum(mid, nb - 1))
+        go_right = v < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    blk = jnp.minimum(lo, nb - 1)
+    prev = jnp.where(blk > 0, jnp.take(bcum, jnp.maximum(blk - 1, 0)), 0)
+    rank = q - prev
+    rows = jnp.take(bits, blk, axis=0)                         # (cap,128) row gather
+    sbit = jnp.arange(8, dtype=jnp.int32)
+    exp = (rows[:, None, :] >> sbit[None, :, None]) & 1        # (cap,8,128)
+    expf = exp.reshape(cap, 1024)
+    rcum = jnp.cumsum(expf, axis=1)
+    within = jnp.argmax(rcum >= rank[:, None], axis=1).astype(jnp.int32)
+    pos = blk * 1024 + within
+    return jnp.where(q <= count, pos, npad), count
+
+
+def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
+               initial_state, stage1_depth=8):
+    """Exact re-walk of survivor positions from scratch over the dense
+    table. Stage 1 runs a fixed fori to `stage1_depth`; the rare deeper
+    walks continue in a while_loop with tile-wide early exit."""
+    cap = pos.shape[0]
+
+    def step(d, state, match):
+        j = pos + d
+        byte = jnp.take(data_u8, jnp.minimum(j, data_u8.shape[0] - 1)).astype(jnp.int32)
+        ch = jnp.where(j < n, byte, 256)
+        state = jnp.take(dense_flat, state * 257 + ch)
+        match = jnp.where((state > 0) & (state <= num_final), state, match)
+        return state, match
+
+    state = jnp.full(cap, initial_state, dtype=jnp.int32)
+    match = jnp.zeros(cap, dtype=jnp.int32)
+    d1 = min(max_len, stage1_depth)
+    state, match = jax.lax.fori_loop(
+        0, d1, lambda d, sm: step(d, *sm), (state, match)
+    )
+    if max_len > d1:
+        def cond(sc):
+            d, state, _ = sc
+            return jnp.logical_and(d < max_len, jnp.any(state > 0))
+
+        def body(sc):
+            d, state, match = sc
+            state, match = step(d, state, match)
+            return d + 1, state, match
+
+        _, state, match = jax.lax.while_loop(cond, body, (jnp.int32(d1), state, match))
+    return match
+
+
+class SieveMatcher:
+    """Device matcher backed by the Pallas sieve kernel + exact XLA tail.
+
+    Interface-compatible with backends.xla.XlaMatcher.
+    """
+
+    def __init__(self, automaton: Automaton, *, tile_rows: int = TILE_ROWS,
+                 interpret: bool = False, device=None):
+        del tile_rows  # fixed-geometry kernel; kept for interface parity
+        self.automaton = automaton
+        self.interpret = interpret
+        self.device = device
+        self.tables = SieveTables.build(automaton)
+        put = lambda x: jax.device_put(jnp.asarray(x), device)
+        self._table_args = [put(a) for a in self.tables.arrays]
+        self._dense_flat = put(dense_device_table(automaton).reshape(-1))
+        self._fns: dict = {}
+        self._cap = 1 << 11
+        self._pending: list = []
+
+    # ------------------------------------------------------------ pipeline
+    @staticmethod
+    def _npad(n: int) -> int:
+        block = TILE_ROWS * LANES
+        return max(1, -(-n // block)) * block
+
+    def _pipeline_fn(self, npad: int, cap: int):
+        key = (npad, cap)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        grid = npad // (TILE_ROWS * LANES)
+        kernel = _make_kernel(self.tables, grid)
+        a = self.automaton
+        has_alive = self.tables.alive is not None
+        interpret = self.interpret
+        n_tables = len(self._table_args)
+        table_shapes = [t.shape for t in self._table_args]
+
+        tab_specs = [
+            pl.BlockSpec((shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for shape in table_shapes
+        ]
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HALO_ROWS, LANES),
+                         lambda i: (i * (TILE_ROWS // HALO_ROWS)
+                                    + TILE_ROWS // HALO_ROWS, 0),
+                         memory_space=pltpu.VMEM),
+        ] + tab_specs
+        out_specs = [
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((grid * TILE_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid * SUB, LANES), jnp.int32),
+        ]
+        rows_u8 = grid * TILE_ROWS + HALO_ROWS
+
+        @jax.jit
+        def run(table_args, dense_flat, data_u8, n_arr):
+            padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
+            padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
+            data2d = padded.reshape(rows_u8, LANES)
+            n_smem = n_arr.reshape(1, 1)
+            out, bits = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                out_shape=out_shape,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=[
+                    pltpu.VMEM((TILE_ROWS, LANES), jnp.int32)
+                    for _ in range(3)
+                ],
+                interpret=interpret,
+            )(n_smem, data2d, data2d, *table_args)
+            matches = out.reshape(-1)
+            if not has_alive:
+                return matches, jnp.int32(0)
+            pos, count = _compact(bits, cap, npad)
+            tail = _tail_walk(
+                dense_flat, data_u8, pos, n_arr[0],
+                max_len=a.max_pattern_len, num_final=a.num_final_states,
+                initial_state=a.initial_state,
+            )
+            result = matches.at[pos].set(tail, mode="drop")
+            return result, count
+
+        self._fns[key] = run
+        return run
+
+    def _dispatch(self, data_u8: jax.Array):
+        n = int(data_u8.shape[0])
+        npad = self._npad(n)
+        cap = min(self._cap, npad)
+        fn = self._pipeline_fn(npad, cap)
+        n_arr = jnp.full((1,), n, jnp.int32)
+        result, count = fn(self._table_args, self._dense_flat, data_u8, n_arr)
+        return result, count, cap
+
+    def match_device(self, data_u8: jax.Array) -> jax.Array:
+        """uint8[N] on device -> int32[npad] match ids (padded tail = 0).
+
+        Overflow checking is DEFERRED: a device→host readback costs a
+        ~30 ms round trip on tunneled runtimes, so this path does not sync
+        per call. Pending survivor counts are validated lazily — every
+        `_FLUSH_EVERY` dispatches, or whenever `flush_checks()` /
+        a host-materializing API (`match`, `match_reduce`) runs. On
+        overflow the survivor capacity is grown and PfacError is raised;
+        results returned since the previous flush must be recomputed.
+        """
+        result, count, cap = self._dispatch(data_u8)
+        self._pending.append((count, cap))
+        if len(self._pending) >= self._FLUSH_EVERY:
+            self.flush_checks()
+        return result
+
+    _FLUSH_EVERY = 64
+
+    def flush_checks(self) -> None:
+        """Validate pending survivor counts (one device→host round trip)."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        counts = jax.device_get([c for c, _ in pending])
+        bad = max((int(c) for c, (_, cap) in zip(counts, pending) if int(c) > cap),
+                  default=0)
+        if bad:
+            self._cap = 1 << int(np.ceil(np.log2(bad + 1)))
+            raise PfacError(
+                PfacStatus.INTERNAL_ERROR,
+                f"survivor capacity exceeded ({bad}); capacity grown — rerun "
+                "the affected match_device calls",
+            )
+
+    # ------------------------------------------------------------ host API
+    def match(self, data) -> np.ndarray:
+        arr = _to_u8(data)
+        n = arr.shape[0]
+        if n == 0:
+            return np.zeros(0, dtype=np.int32)
+        data_dev = jax.device_put(arr, self.device)
+        while True:
+            result, count, cap = self._dispatch(data_dev)
+            # one batched transfer: result + count in a single round trip
+            res_np, c = jax.device_get((result, count))
+            if int(c) <= cap:
+                return res_np[:n]
+            # survivor overflow: grow the static cap and re-run (rare; the
+            # larger cap sticks for future calls on this matcher)
+            self._cap = 1 << int(np.ceil(np.log2(int(c) + 1)))
+
+    def match_reduce_device(self, data_u8):
+        from .xla import _reduce_padded
+        return _reduce_padded(self.match_device(data_u8))
+
+    def match_reduce(self, data):
+        arr = _to_u8(data)
+        if arr.shape[0] == 0:
+            z = np.zeros(0, dtype=np.int32)
+            return z, z, 0
+        data_dev = jax.device_put(arr, self.device)
+        from .xla import _reduce_padded
+        while True:
+            result, count, cap = self._dispatch(data_dev)
+            ids, pos, nm = _reduce_padded(result)
+            ids, pos, nm, c = jax.device_get((ids, pos, nm, count))
+            if int(c) <= cap:
+                c2 = int(nm)
+                return ids[:c2], pos[:c2], c2
+            self._cap = 1 << int(np.ceil(np.log2(int(c) + 1)))

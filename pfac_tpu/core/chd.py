@@ -186,6 +186,44 @@ def build_resid(keys: np.ndarray, bits: int = 16) -> ChdTable:
                     num_buckets=b, num_slots=r, kind=f"resid{bits}", salt=salt)
 
 
+def build_exact_wide(keys: np.ndarray, values: np.ndarray) -> tuple[ChdTable, np.ndarray]:
+    """Exact table for keys up to 32 bits: the full key is stored in a
+    second word array, so lookups are exact with no width limit.
+
+    Returns (table, key_words) where table.slot_words holds
+    ``value<<1 | 1`` (0 = empty) and key_words holds the key per slot
+    (empty slots hold -1, which no masked kernel key can equal).
+    """
+    keys = np.asarray(keys, dtype=np.uint32)
+    values = np.asarray(values, dtype=np.uint32)
+    if keys.size == 0:
+        t = ChdTable(disp=np.zeros(8, np.uint16), slot_words=np.zeros(8, np.int32),
+                     num_buckets=8, num_slots=8, kind="exact_wide")
+        return t, np.full(8, -1, np.int32)
+    assert values.max() < (1 << 15)
+    disp, slot_of, r, b, salt = _build(keys)
+    words = np.zeros(r, dtype=np.uint32)
+    words[slot_of] = (values << np.uint32(1)) | np.uint32(1)
+    key_words = np.full(r, -1, dtype=np.int64)
+    key_words[slot_of] = keys
+    t = ChdTable(disp=disp, slot_words=words.astype(np.int32),
+                 num_buckets=b, num_slots=r, kind="exact_wide", salt=salt)
+    return t, key_words.astype(np.uint32).view(np.int32)
+
+
+def lookup_exact_wide(t: ChdTable, key_words: np.ndarray, key: int) -> int:
+    """Host-side oracle for the wide exact probe: value+... returns value if
+    present (values are pattern IDs >= 1 passed by the caller), else 0."""
+    k = np.uint32(key)
+    bk = int(_h_bucket(np.array([k], np.uint32), t.num_buckets)[0])
+    h1 = int(_h_slot(np.array([k], np.uint32), t.num_slots, t.salt)[0])
+    slot = (h1 ^ int(t.disp[bk])) & (t.num_slots - 1)
+    w = int(np.uint32(t.slot_words[slot]))
+    if (w & 1) and np.uint32(key_words[slot]) == k:
+        return (w >> 1) & 0x7FFF
+    return 0
+
+
 def lookup_exact(t: ChdTable, key: int) -> int:
     """Host-side oracle for the kernel's exact probe: value+1 if present, 0."""
     k = np.uint32(key)

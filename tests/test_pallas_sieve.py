@@ -1,0 +1,154 @@
+"""Pallas sieve kernel parity vs the golden model (interpret mode on CPU).
+
+On real TPU the same code runs compiled; bench.py and the verify skill
+exercise that path. Interpret mode validates kernel logic exactly —
+including the in-kernel byte assembly (lane rolls + halo), the CHD probes,
+the bitmap compaction, and the staged exact tail.
+"""
+import numpy as np
+import pytest
+
+from pfac_tpu import Automaton
+from pfac_tpu.backends import golden
+from pfac_tpu.backends.pallas_sieve import SieveMatcher, SieveTables
+from pfac_tpu.core import chd
+
+
+class TestChdWide:
+    @pytest.mark.parametrize("n", [1, 13, 200])
+    def test_exact_wide_roundtrip(self, n):
+        rng = np.random.default_rng(n)
+        keys = rng.choice(1 << 24, size=n, replace=False).astype(np.uint32)
+        vals = rng.integers(1, 1 << 15, size=n).astype(np.uint32)
+        t, kw = chd.build_exact_wide(keys, vals)
+        for i in range(n):
+            assert chd.lookup_exact_wide(t, kw, int(keys[i])) == int(vals[i])
+        nonkeys = set(range(300)) - set(keys.tolist())
+        assert all(chd.lookup_exact_wide(t, kw, k) == 0 for k in nonkeys)
+
+
+def _sieve(patterns):
+    a = Automaton.from_patterns(patterns)
+    return a, SieveMatcher(a, interpret=True)
+
+
+def _check(patterns, data):
+    a, m = _sieve(patterns)
+    expected = golden.match_dense(a, data)
+    got = m.match(data)
+    assert got.tolist() == expected.tolist(), (patterns, data)
+
+
+class TestSieveMatcher:
+    def test_readme_example(self):
+        a, m = _sieve([b"AB", b"ABG", b"BEDE", b"ED"])
+        assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+    def test_len1_only(self):
+        _check([b"x", b"y"], b"xyzyx")
+
+    def test_len2_only(self):
+        _check([b"ab", b"ba"], b"abab")
+
+    def test_len3_only(self):
+        _check([b"abc", b"bca", b"cab"], b"abcabcx")
+
+    def test_each_depth_class(self):
+        # one pattern in each kernel class: m1, m2, m3, alive/tail
+        _check([b"q", b"qw", b"qwe", b"qwert"], b"qwertyqweqwq")
+
+    def test_zero_byte_patterns(self):
+        # key 0 probing an empty m2 slot must not clobber the m1 match
+        _check([b"\x00", b"\x00\x01", b"ABC", b"ABCD"],
+               b"\x00\x00\x01ABCDAB" + bytes(100))
+
+    def test_match_at_very_end(self):
+        # matches whose window touches n: every boundary mask in the kernel
+        for tail in (b"qwert", b"qwe", b"qw", b"q"):
+            _check([b"q", b"qw", b"qwe", b"qwert"], b"xxxx" + tail)
+
+    def test_truncated_at_end_no_match(self):
+        # pattern prefix runs off the end -> must NOT match
+        _check([b"abcd"], b"zzzabc")
+        _check([b"abc"], b"zzzab")
+
+    def test_long_patterns_tail(self):
+        pats = [b"abcdef", b"abq", b"zzzzzzzz"]
+        _check(pats, b"xxabcdefyyabqzz" + b"z" * 10 + b"ab")
+
+    def test_prefix_chains(self):
+        _check([b"a", b"ab", b"abc", b"abcd", b"abcde"], b"abcdeabcxab")
+
+    def test_shared_4byte_prefix(self):
+        # several len>=4 patterns sharing the alive key
+        _check([b"wxyzA", b"wxyzB", b"wxyz99", b"wxyQ"],
+               b"..wxyzA..wxyz99..wxyzB..wxyQ..wxy")
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_vs_golden(self, seed):
+        rng = np.random.default_rng(seed)
+        alpha = rng.integers(0, 256, size=int(rng.integers(2, 6))).astype(np.uint8)
+        k = int(rng.integers(1, 12))
+        pats = [
+            bytes(alpha[rng.integers(0, len(alpha), size=int(rng.integers(1, 8)))])
+            for _ in range(k)
+        ]
+        data = bytes(alpha[rng.integers(0, len(alpha), size=int(rng.integers(1, 300)))])
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        expected = golden.match_dense(a, data)
+        assert m.match(data).tolist() == expected.tolist(), (pats, data)
+
+    def test_binary_and_boundary(self):
+        pats = [bytes([0, 255]), bytes([255, 255, 255]), bytes([10])]
+        _check(pats, bytes([0, 255, 255, 255, 10, 0, 255]))
+
+    def test_block_boundary_straddle(self):
+        # a match spanning the 65536-position grid-step boundary exercises
+        # the halo row (the kernel reads c1..c3 across blocks)
+        pat = b"HELLO"
+        data = bytearray(np.zeros(70000, np.uint8))
+        for off in (65534, 65535, 65533, 131067):
+            if off + len(pat) <= len(data):
+                data[off:off + len(pat)] = pat
+        _check([pat], bytes(data))
+
+    def test_match_reduce(self):
+        a, m = _sieve([b"AB", b"ABG", b"BEDE", b"ED"])
+        ids, pos, n = m.match_reduce(b"ABEDEDABG")
+        assert (n, pos.tolist(), ids.tolist()) == (5, [0, 1, 2, 4, 6], [1, 3, 4, 4, 2])
+
+    def test_survivor_overflow_grows_cap(self):
+        # corpus where EVERY position is alive: survivors >> default cap
+        a = Automaton.from_patterns([b"aaaaaaa"])
+        m = SieveMatcher(a, interpret=True)
+        m._cap = 64  # force overflow handling
+        data = b"a" * 1000
+        expected = golden.match_dense(a, data)
+        assert m.match(data).tolist() == expected.tolist()
+        assert m._cap > 64
+
+    def test_deferred_check_flags_overflow(self):
+        import jax
+
+        from pfac_tpu.status import PfacError
+
+        a = Automaton.from_patterns([b"aaaaaaa"])
+        m = SieveMatcher(a, interpret=True)
+        m._cap = 64
+        data_dev = jax.device_put(np.frombuffer(b"a" * 1000, dtype=np.uint8))
+        _ = m.match_device(data_dev)
+        with pytest.raises(PfacError):
+            m.flush_checks()
+        assert m._cap > 64
+
+    def test_too_many_patterns_rejected(self):
+        from pfac_tpu.status import PfacError
+
+        a = Automaton.from_patterns([b"ab"])
+        a.num_final_states = 40000  # simulate oversized ruleset
+        with pytest.raises(PfacError):
+            SieveTables.build(a)
+
+    def test_duplicate_patterns_later_id_wins(self):
+        _check([b"ab", b"ab", b"abc"], b"zabcab")
