@@ -387,6 +387,88 @@ def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
     return match
 
 
+def build_pipeline(automaton: Automaton, tables: SieveTables, *,
+                   npad: int, cap: int, interpret: bool = False):
+    """Pure pipeline function for one static geometry (npad positions,
+    survivor capacity cap):
+
+        run(table_args, dense_flat, data_u8, n_arr) -> (result, count)
+
+    Not jitted — callable directly, under jax.jit, or inside shard_map
+    (the distributed matcher runs it per shard with a ppermute halo).
+    `n_arr` is a (1,) int32 giving the true byte count; positions at or
+    past it report 0 and never match.
+    """
+    grid = npad // (TILE_ROWS * LANES)
+    kernel = _make_kernel(tables, grid)
+    a = automaton
+    has_alive = tables.alive is not None
+    table_shapes = [t.shape for t in tables.arrays]
+
+    tab_specs = [
+        pl.BlockSpec((shape[0], LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for shape in table_shapes
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((HALO_ROWS, LANES),
+                     lambda i: (i * (TILE_ROWS // HALO_ROWS)
+                                + TILE_ROWS // HALO_ROWS, 0),
+                     memory_space=pltpu.VMEM),
+    ] + tab_specs
+    out_specs = [
+        pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((grid * TILE_ROWS, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((grid * SUB, LANES), jnp.int32),
+    ]
+    rows_u8 = grid * TILE_ROWS + HALO_ROWS
+
+    def run(table_args, dense_flat, data_u8, n_arr):
+        padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
+        padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
+        data2d = padded.reshape(rows_u8, LANES)
+        n_smem = n_arr.reshape(1, 1)
+        out, bits = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((TILE_ROWS, LANES), jnp.int32)
+                for _ in range(3)
+            ],
+            interpret=interpret,
+        )(n_smem, data2d, data2d, *table_args)
+        matches = out.reshape(-1)
+        if not has_alive:
+            return matches, jnp.int32(0)
+        pos, count = _compact(bits, cap, npad)
+        tail = _tail_walk(
+            dense_flat, data_u8, pos, n_arr[0],
+            max_len=a.max_pattern_len, num_final=a.num_final_states,
+            initial_state=a.initial_state,
+        )
+        result = matches.at[pos].set(tail, mode="drop")
+        return result, count
+
+    return run
+
+
+def npad_for(n: int) -> int:
+    """Positions padded up to the kernel's grid-step granularity."""
+    block = TILE_ROWS * LANES
+    return max(1, -(-n // block)) * block
+
+
 class SieveMatcher:
     """Device matcher backed by the Pallas sieve kernel + exact XLA tail.
 
@@ -406,84 +488,29 @@ class SieveMatcher:
         self._fns: dict = {}
         self._cap = 1 << 11
         self._pending: list = []
+        self._fallback_engine = None
+
+    def _fallback(self):
+        if self._fallback_engine is None:
+            from .xla import XlaMatcher
+            self._fallback_engine = XlaMatcher(
+                self.automaton, perf_mode="dense", device=self.device
+            )
+        return self._fallback_engine
 
     # ------------------------------------------------------------ pipeline
-    @staticmethod
-    def _npad(n: int) -> int:
-        block = TILE_ROWS * LANES
-        return max(1, -(-n // block)) * block
+    _npad = staticmethod(npad_for)
 
     def _pipeline_fn(self, npad: int, cap: int):
         key = (npad, cap)
         fn = self._fns.get(key)
-        if fn is not None:
-            return fn
-        grid = npad // (TILE_ROWS * LANES)
-        kernel = _make_kernel(self.tables, grid)
-        a = self.automaton
-        has_alive = self.tables.alive is not None
-        interpret = self.interpret
-        n_tables = len(self._table_args)
-        table_shapes = [t.shape for t in self._table_args]
-
-        tab_specs = [
-            pl.BlockSpec((shape[0], LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-            for shape in table_shapes
-        ]
-        in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((HALO_ROWS, LANES),
-                         lambda i: (i * (TILE_ROWS // HALO_ROWS)
-                                    + TILE_ROWS // HALO_ROWS, 0),
-                         memory_space=pltpu.VMEM),
-        ] + tab_specs
-        out_specs = [
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((grid * TILE_ROWS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((grid * SUB, LANES), jnp.int32),
-        ]
-        rows_u8 = grid * TILE_ROWS + HALO_ROWS
-
-        @jax.jit
-        def run(table_args, dense_flat, data_u8, n_arr):
-            padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
-            padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
-            data2d = padded.reshape(rows_u8, LANES)
-            n_smem = n_arr.reshape(1, 1)
-            out, bits = pl.pallas_call(
-                kernel,
-                grid=(grid,),
-                out_shape=out_shape,
-                in_specs=in_specs,
-                out_specs=out_specs,
-                scratch_shapes=[
-                    pltpu.VMEM((TILE_ROWS, LANES), jnp.int32)
-                    for _ in range(3)
-                ],
-                interpret=interpret,
-            )(n_smem, data2d, data2d, *table_args)
-            matches = out.reshape(-1)
-            if not has_alive:
-                return matches, jnp.int32(0)
-            pos, count = _compact(bits, cap, npad)
-            tail = _tail_walk(
-                dense_flat, data_u8, pos, n_arr[0],
-                max_len=a.max_pattern_len, num_final=a.num_final_states,
-                initial_state=a.initial_state,
-            )
-            result = matches.at[pos].set(tail, mode="drop")
-            return result, count
-
-        self._fns[key] = run
-        return run
+        if fn is None:
+            fn = jax.jit(build_pipeline(
+                self.automaton, self.tables, npad=npad, cap=cap,
+                interpret=self.interpret,
+            ))
+            self._fns[key] = fn
+        return fn
 
     def _dispatch(self, data_u8: jax.Array):
         n = int(data_u8.shape[0])
@@ -542,6 +569,12 @@ class SieveMatcher:
             res_np, c = jax.device_get((result, count))
             if int(c) <= cap:
                 return res_np[:n]
+            if int(c) > max(1 << 17, self._npad(n) // 8):
+                # pathological corpus (e.g. long runs matching long-pattern
+                # prefixes everywhere): the filter+tail design degrades, the
+                # dense lockstep walker is the better engine — mirror of the
+                # reference's worst-case regime (PFAC_hash_draft.pdf Table 5)
+                return self._fallback().match(data)
             # survivor overflow: grow the static cap and re-run (rare; the
             # larger cap sticks for future calls on this matcher)
             self._cap = 1 << int(np.ceil(np.log2(int(c) + 1)))
@@ -551,17 +584,5 @@ class SieveMatcher:
         return _reduce_padded(self.match_device(data_u8))
 
     def match_reduce(self, data):
-        arr = _to_u8(data)
-        if arr.shape[0] == 0:
-            z = np.zeros(0, dtype=np.int32)
-            return z, z, 0
-        data_dev = jax.device_put(arr, self.device)
-        from .xla import _reduce_padded
-        while True:
-            result, count, cap = self._dispatch(data_dev)
-            ids, pos, nm = _reduce_padded(result)
-            ids, pos, nm, c = jax.device_get((ids, pos, nm, count))
-            if int(c) <= cap:
-                c2 = int(nm)
-                return ids[:c2], pos[:c2], c2
-            self._cap = 1 << int(np.ceil(np.log2(int(c) + 1)))
+        from .xla import host_reduce
+        return host_reduce(self.match(data))

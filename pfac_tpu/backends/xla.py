@@ -345,13 +345,20 @@ class XlaMatcher:
         return _reduce_padded(m)
 
     def match_reduce(self, data) -> tuple[np.ndarray, np.ndarray, int]:
-        arr = _to_u8(data)
-        if arr.shape[0] == 0:
-            z = np.zeros(0, dtype=np.int32)
-            return z, z, 0
-        ids, pos, count = self.match_reduce_device(jax.device_put(arr, self.device))
-        c = int(count)
-        return np.asarray(ids)[:c], np.asarray(pos)[:c], c
+        return host_reduce(self.match(data))
+
+
+def host_reduce(match: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Compacted (ids, positions, count) from a dense host match vector.
+
+    The host-facing reduce transfers the dense result anyway (it is the
+    `PFAC_matchFromHostReduce` analog), and numpy's nonzero runs ~5x
+    faster than an XLA 64M-element scatter on this chip — so compaction
+    happens host-side. `match_reduce_device` keeps the on-device
+    cumsum+scatter variant for device-resident consumers.
+    """
+    pos = np.flatnonzero(match > 0).astype(np.int32)
+    return match[pos].astype(np.int32), pos, int(pos.shape[0])
 
 
 def _to_u8(data) -> np.ndarray:

@@ -65,17 +65,44 @@ class ShardedMatcher:
     match(data) returns the same int32[N] result as the single-device
     matcher — sharding must be invisible in the output (the determinism
     contract of SURVEY.md §7.4).
+
+    engine:
+      * "xla"   — portable lockstep walker (works on any backend)
+      * "sieve" — the Pallas sieve kernel per shard (TPU; interpret mode
+        elsewhere), same halo-exchange layout
+      * "auto"  — sieve on TPU meshes, xla otherwise
     """
 
     automaton: Automaton
     mesh: Mesh | None = None
     perf_mode: str = "dense"
     tile: int = DEFAULT_TILE
+    engine: str = "auto"
+    interpret: bool = False
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_data_mesh()
+        if self.engine == "auto":
+            on_tpu = self.mesh.devices.flat[0].platform == "tpu"
+            self.engine = "sieve" if on_tpu else "xla"
         a = self.automaton
+        rep = NamedSharding(self.mesh, P())
+        self._sharded_fns: dict = {}
+
+        if self.engine == "sieve":
+            from ..backends import pallas_sieve as sieve
+
+            self._sieve_tables = sieve.SieveTables.build(a)
+            self._tables = tuple(
+                jax.device_put(jnp.asarray(x), rep)
+                for x in self._sieve_tables.arrays
+            )
+            self._dense_flat = jax.device_put(
+                jnp.asarray(dense_device_table(a).reshape(-1)), rep)
+            self._cap = 1 << 13
+            return
+
         ps, pm = pair_tables(a)
         if self.perf_mode == "dense":
             tabs = (dense_device_table(a).reshape(-1),)
@@ -87,11 +114,9 @@ class ShardedMatcher:
         else:
             raise ValueError(f"unknown perf_mode {self.perf_mode!r}")
 
-        rep = NamedSharding(self.mesh, P())
         self._tables = tuple(jax.device_put(jnp.asarray(x), rep) for x in tabs)
         self._pair_state = jax.device_put(jnp.asarray(ps), rep)
         self._pair_match = jax.device_put(jnp.asarray(pm), rep)
-        self._sharded_fns: dict = {}
 
     # ------------------------------------------------------------ internals
     @property
@@ -102,7 +127,55 @@ class ShardedMatcher:
         """Bytes per shard: ceil(n / ndev) rounded up to a tile multiple."""
         nd = self.num_devices
         per = -(-n // nd)
+        if self.engine == "sieve":
+            from ..backends.pallas_sieve import npad_for
+            return npad_for(per)
         return max(1, -(-per // self.tile)) * self.tile
+
+    def _build_fn_sieve(self, shard_len: int, n: int):
+        """Per-shard Pallas sieve with the same ppermute halo layout.
+
+        Returns (matches P(AXIS), match_count P(), survivor_counts P(AXIS));
+        survivor counts are validated host-side (capacity retry).
+        """
+        from ..backends import pallas_sieve as sieve
+
+        a = self.automaton
+        halo = max(a.max_pattern_len, 2)
+        nd = self.num_devices
+        cap = self._cap
+        pipeline = sieve.build_pipeline(
+            a, self._sieve_tables,
+            npad=sieve.npad_for(shard_len + halo), cap=cap,
+            interpret=self.interpret,
+        )
+
+        def local_match(tables, dense_flat, data_local):
+            idx = jax.lax.axis_index(AXIS)
+            head = jax.lax.dynamic_slice(data_local, (0,), (halo,))
+            perm = [(i, i - 1) for i in range(1, nd)]
+            # last shard's halo: ppermute leaves untargeted outputs zero;
+            # those bytes sit at/past global n and are masked by n_valid
+            halo_bytes = jax.lax.ppermute(head, AXIS, perm) if perm else head
+            ext = jnp.concatenate([data_local, halo_bytes])
+            n_valid = jnp.clip(n - idx * shard_len, 0, shard_len + halo)
+            result, scount = pipeline(
+                tables, dense_flat, ext,
+                n_valid.reshape(1).astype(jnp.int32),
+            )
+            owned = jax.lax.dynamic_slice(result, (0,), (shard_len,))
+            count = jax.lax.psum(jnp.sum(owned > 0), AXIS)
+            return owned, count, scount.reshape(1)
+
+        fn = jax.shard_map(
+            local_match,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(AXIS)),
+            out_specs=(P(AXIS), P(), P(AXIS)),
+            # pallas_call out_shapes carry no varying-mesh-axes annotation
+            check_vma=False,
+        )
+        return jax.jit(fn)
 
     def _build_fn(self, shard_len: int, n: int):
         a = self.automaton
@@ -145,12 +218,31 @@ class ShardedMatcher:
 
     def _fn_for(self, n: int):
         shard_len = self._shard_len(n)
-        key = (shard_len, n)
+        key = (shard_len, n, getattr(self, "_cap", 0))
         fn = self._sharded_fns.get(key)
         if fn is None:
-            fn = self._build_fn(shard_len, n)
+            if self.engine == "sieve":
+                fn = self._build_fn_sieve(shard_len, n)
+            else:
+                fn = self._build_fn(shard_len, n)
             self._sharded_fns[key] = fn
         return fn, shard_len
+
+    def _run(self, data_dev: jax.Array, n: int):
+        """-> (matches sharded, match_count replicated) with sieve survivor
+        capacity retry handled host-side."""
+        while True:
+            fn, _ = self._fn_for(n)
+            if self.engine == "sieve":
+                matches, count, scounts = fn(
+                    self._tables, self._dense_flat, data_dev)
+                worst = int(np.max(jax.device_get(scounts)))
+                if worst <= self._cap:
+                    return matches, count
+                self._cap = 1 << int(np.ceil(np.log2(worst + 1)))
+            else:
+                return fn(self._tables, self._pair_state, self._pair_match,
+                          data_dev)
 
     # ------------------------------------------------------------ public
     def match_device(self, data_u8_global: jax.Array, n: int):
@@ -158,21 +250,20 @@ class ShardedMatcher:
 
         Returns (matches int32[ndev*shard_len] sharded, count replicated).
         """
-        fn, _ = self._fn_for(n)
-        return fn(self._tables, self._pair_state, self._pair_match, data_u8_global)
+        return self._run(data_u8_global, n)
+
+    def _put(self, arr: np.ndarray, shard_len: int) -> jax.Array:
+        total = shard_len * self.num_devices
+        padded = np.zeros(total, dtype=np.uint8)
+        padded[: arr.shape[0]] = arr
+        return jax.device_put(padded, NamedSharding(self.mesh, P(AXIS)))
 
     def match(self, data) -> np.ndarray:
         arr = _to_u8(data)
         n = arr.shape[0]
         if n == 0:
             return np.zeros(0, dtype=np.int32)
-        fn, shard_len = self._fn_for(n)
-        total = shard_len * self.num_devices
-        padded = np.zeros(total, dtype=np.uint8)
-        padded[:n] = arr
-        sharding = NamedSharding(self.mesh, P(AXIS))
-        data_dev = jax.device_put(padded, sharding)
-        matches, _ = fn(self._tables, self._pair_state, self._pair_match, data_dev)
+        matches, _ = self._run(self._put(arr, self._shard_len(n)), n)
         return np.asarray(matches)[:n]
 
     def match_count(self, data) -> int:
@@ -181,12 +272,7 @@ class ShardedMatcher:
         n = arr.shape[0]
         if n == 0:
             return 0
-        fn, shard_len = self._fn_for(n)
-        total = shard_len * self.num_devices
-        padded = np.zeros(total, dtype=np.uint8)
-        padded[:n] = arr
-        data_dev = jax.device_put(padded, NamedSharding(self.mesh, P(AXIS)))
-        _, count = fn(self._tables, self._pair_state, self._pair_match, data_dev)
+        _, count = self._run(self._put(arr, self._shard_len(n)), n)
         return int(count)
 
     def match_reduce(self, data) -> tuple[np.ndarray, np.ndarray, int]:

@@ -78,3 +78,34 @@ class TestShardedMatcher:
         sm = ShardedMatcher(a, mesh=mesh2, tile=8)
         data = b"xxabxx" * 10
         assert sm.match(data).tolist() == golden.match_dense(a, data).tolist()
+
+
+class TestShardedSieve:
+    """The Pallas sieve engine under shard_map (interpret mode on the CPU
+    mesh; on TPU meshes engine="auto" selects it compiled)."""
+
+    def test_boundary_matches_vs_golden(self, mesh8):
+        rng = np.random.default_rng(3)
+        pats = [b"q", b"qw", b"qwe", b"qwert", b"hello", b"lo wor"]
+        a = Automaton.from_patterns(pats)
+        sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
+        n = 2 * 65536 * 8 + 12345
+        data = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8).tobytes())
+        sl = sm._shard_len(n)
+        for b in range(sl, n - 8, sl):          # straddle every shard boundary
+            data[b - 3:b + 3] = b"qwerth"[:6]
+        data[:5] = b"hello"
+        data[-5:] = b"hello"
+        data = bytes(data)
+        expected = golden.match_dense(a, data)
+        assert np.array_equal(sm.match(data), expected)
+        assert sm.match_count(data) == int((expected > 0).sum())
+
+    def test_survivor_cap_retry(self, mesh8):
+        a = Automaton.from_patterns([b"aaaaaaa"])
+        sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
+        sm._cap = 64
+        data = b"a" * (65536 * 8)
+        expected = golden.match_dense(a, data)
+        assert np.array_equal(sm.match(data), expected)
+        assert sm._cap > 64
