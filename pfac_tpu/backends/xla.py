@@ -264,6 +264,7 @@ def _reduce_padded(match_padded: jax.Array) -> tuple[jax.Array, jax.Array, jax.A
     machinery. Returns (ids, positions, count) with positions ascending;
     entries past `count` are undefined (API slices them off).
     """
+    match_padded = match_padded.astype(jnp.int32)   # sieve emits int16 ids
     n = match_padded.shape[0]
     flags = match_padded > 0
     idx = jnp.cumsum(flags) - 1          # output slot per matching lane

@@ -264,7 +264,7 @@ class ShardedMatcher:
         if n == 0:
             return np.zeros(0, dtype=np.int32)
         matches, _ = self._run(self._put(arr, self._shard_len(n)), n)
-        return np.asarray(matches)[:n]
+        return np.asarray(matches)[:n].astype(np.int32, copy=False)
 
     def match_count(self, data) -> int:
         """Global number of matching positions (psum over the mesh)."""
