@@ -71,15 +71,25 @@ def cmd_profile(args) -> int:
 
     data_dev = jax.device_put(np.frombuffer(data, dtype=np.uint8))
     out = eng.match_device(data_dev)
-    out.block_until_ready()  # compile + warm
+    _ = np.asarray(out[:1])  # compile + warm (honest completion barrier)
 
-    times = []
-    for _ in range(args.iters):
+    # Amortized timing: on tunneled runtimes a tiny D2H barrier costs tens
+    # of ms and block_until_ready can return early, so single-dispatch
+    # timing lies. Time K chained dispatches ending in one barrier.
+    def batch(k: int) -> float:
         t0 = time.perf_counter()
-        out = eng.match_device(data_dev)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+        o = None
+        for _ in range(k):
+            o = eng.match_device(data_dev)
+        _ = np.asarray(o[:1])
+        return time.perf_counter() - t0
+
+    k = max(2, args.iters)
+    t1 = min(batch(1) for _ in range(3))
+    tk = min(batch(k) for _ in range(3))
+    dt = (tk - t1) / (k - 1)
+    if hasattr(eng, "flush_checks"):
+        eng.flush_checks()
     n_matched = int(np.asarray((out > 0).sum()))
 
     report = {
