@@ -20,9 +20,9 @@ import time
 
 import numpy as np
 
-CORPUS_MB = 64
+CORPUS_MB = 128
 N_ITERS = 3
-K_BATCH = 8
+K_BATCH = 6
 BASELINE_GBPS = 208.53 / 8.0  # 26.07 GB/s
 
 
@@ -81,6 +81,16 @@ def main() -> None:
     eng = m._engine()
     out = eng.match_device(data_dev)          # compile + warmup
     _ = np.asarray(out[:8])
+    if hasattr(eng, "flush_checks"):
+        # calibrate survivor capacity before timing (a lazy overflow check
+        # grows the cap and raises; re-warm with the larger capacity)
+        from pfac_tpu.status import PfacError
+        try:
+            eng.flush_checks()
+        except PfacError:
+            out = eng.match_device(data_dev)
+            _ = np.asarray(out[:8])
+            eng.flush_checks()
 
     # NB: on this platform block_until_ready() can return before execution
     # completes, and a tiny D2H transfer costs a ~30 ms tunnel round trip.

@@ -486,7 +486,7 @@ class SieveMatcher:
         self._table_args = [put(a) for a in self.tables.arrays]
         self._dense_flat = put(dense_device_table(automaton).reshape(-1))
         self._fns: dict = {}
-        self._cap = 1 << 11
+        self._cap = 1 << 12
         self._pending: list = []
         self._fallback_engine = None
 
