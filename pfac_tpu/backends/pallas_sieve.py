@@ -122,11 +122,14 @@ class SieveTables:
 
     @classmethod
     def build(cls, automaton: Automaton) -> "SieveTables":
-        if automaton.num_final_states > 0x7FFF:
+        if automaton.num_final_states >= (1 << 30):
             raise PfacError(
                 PfacStatus.INVALID_PARAMETER,
-                "pallas sieve supports <= 32767 patterns",
+                "pallas sieve supports < 2^30 patterns (alive flag uses bit 30)",
             )
+        # pattern IDs above 15 bits don't fit the packed exact16 word;
+        # switch m2 to the wide (key word + value word) encoding
+        wide_ids = automaton.num_final_states > 0x7FFF
         len1, len2, len3 = {}, {}, {}
         alive_keys = set()
         for idx, pat in enumerate(automaton.sorted_patterns):
@@ -153,7 +156,11 @@ class SieveTables:
         if len2:
             ks = np.array(sorted(len2.keys()), dtype=np.uint32)
             vs = np.array([len2[int(k)] for k in ks], dtype=np.uint32)
-            m2 = _Probe.from_chd(chd.build_exact(ks, vs))
+            if wide_ids:
+                t, kw = chd.build_exact_wide(ks, vs)
+                m2 = _Probe.from_chd(t, kw)
+            else:
+                m2 = _Probe.from_chd(chd.build_exact(ks, vs))
 
         m3 = None
         if len3:
@@ -227,6 +234,10 @@ def _make_kernel(tables: SieveTables, grid: int):
         if m2 is not None:
             m2_disp, m2_words = refs[i], refs[i + 1]
             i += 2
+            m2_keyw = None
+            if m2.keyw is not None:          # wide encoding (ids > 15 bits)
+                m2_keyw = refs[i]
+                i += 1
         if m3 is not None:
             m3_disp, m3_words, m3_keyw = refs[i], refs[i + 1], refs[i + 2]
             i += 3
@@ -280,19 +291,25 @@ def _make_kernel(tables: SieveTables, grid: int):
                     k = sl(k2_ref)
                     slot = _probe_slot(m2_disp, k, m2.lg_b, m2.lg_r, m2.slot_mul)
                     w = _lookup(m2_words, slot)
-                    # real entries are odd (valid bit), so w != 0 excludes
-                    # empty slots — cheaper than testing the valid bit, and
-                    # required: key 0 probing an empty slot must not clobber
-                    # an m1 match with value 0
-                    hit = (((w >> 16) & 0xFFFF) == k) & (w != 0) & (p8 + 1 < n)
-                    match = jnp.where(hit, (w >> 1) & 0x7FFF, match)
+                    if m2_keyw is not None:         # wide (ids > 15 bits)
+                        kw = _lookup(m2_keyw, slot)  # empty key word = -1
+                        hit = (kw == k) & (p8 + 1 < n)
+                        match = jnp.where(hit, w >> 1, match)
+                    else:
+                        # real entries are odd (valid bit), so w != 0
+                        # excludes empty slots — cheaper than testing the
+                        # valid bit, and required: key 0 probing an empty
+                        # slot must not clobber an m1 match with value 0
+                        hit = ((((w >> 16) & 0xFFFF) == k) & (w != 0)
+                               & (p8 + 1 < n))
+                        match = jnp.where(hit, (w >> 1) & 0x7FFF, match)
                 if m3 is not None:
                     k = sl(k3_ref)
                     slot = _probe_slot(m3_disp, k, m3.lg_b, m3.lg_r, m3.slot_mul)
                     w = _lookup(m3_words, slot)
                     kw = _lookup(m3_keyw, slot)     # empty key word = -1
                     hit = (kw == k) & (p8 + 2 < n)
-                    match = jnp.where(hit, (w >> 1) & 0x7FFF, match)
+                    match = jnp.where(hit, w >> 1, match)
                 out = jnp.where(p8 < n, match, 0)
                 if alive is not None:
                     k = sl(k4_ref)

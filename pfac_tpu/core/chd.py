@@ -200,7 +200,7 @@ def build_exact_wide(keys: np.ndarray, values: np.ndarray) -> tuple[ChdTable, np
         t = ChdTable(disp=np.zeros(8, np.uint16), slot_words=np.zeros(8, np.int32),
                      num_buckets=8, num_slots=8, kind="exact_wide")
         return t, np.full(8, -1, np.int32)
-    assert values.max() < (1 << 15)
+    assert values.max() < (1 << 30)
     disp, slot_of, r, b, salt = _build(keys)
     words = np.zeros(r, dtype=np.uint32)
     words[slot_of] = (values << np.uint32(1)) | np.uint32(1)
@@ -220,7 +220,7 @@ def lookup_exact_wide(t: ChdTable, key_words: np.ndarray, key: int) -> int:
     slot = (h1 ^ int(t.disp[bk])) & (t.num_slots - 1)
     w = int(np.uint32(t.slot_words[slot]))
     if (w & 1) and np.uint32(key_words[slot]) == k:
-        return (w >> 1) & 0x7FFF
+        return w >> 1
     return 0
 
 

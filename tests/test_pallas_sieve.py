@@ -142,13 +142,28 @@ class TestSieveMatcher:
             m.flush_checks()
         assert m._cap > 64
 
-    def test_too_many_patterns_rejected(self):
+    def test_way_too_many_patterns_rejected(self):
         from pfac_tpu.status import PfacError
 
         a = Automaton.from_patterns([b"ab"])
-        a.num_final_states = 40000  # simulate oversized ruleset
+        a.num_final_states = 1 << 30  # alive flag uses bit 30
         with pytest.raises(PfacError):
             SieveTables.build(a)
+
+    def test_large_ruleset_wide_ids(self):
+        # > 32767 patterns: m2/m3 switch to the wide (key word + value
+        # word) CHD encoding; IDs up to num_patterns must round-trip
+        rng = np.random.default_rng(9)
+        keys = rng.choice(1 << 16, size=34000, replace=False)
+        pats = [bytes([k >> 8, k & 0xFF]) for k in keys]     # len-2, unique
+        pats += [b"XYZq", b"XY"]                             # one len-4, dup-range
+        a = Automaton.from_patterns(pats)
+        assert a.num_final_states > 0x7FFF
+        m = SieveMatcher(a, interpret=True)
+        data = bytes(rng.integers(0, 256, size=3000).astype(np.uint8))
+        data += pats[-2] + pats[0] + pats[17000]
+        expected = golden.match_dense(a, data)
+        assert m.match(data).tolist() == expected.tolist()
 
     def test_duplicate_patterns_later_id_wins(self):
         _check([b"ab", b"ab", b"abc"], b"zabcab")
