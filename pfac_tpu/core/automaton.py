@@ -196,6 +196,30 @@ class Automaton:
             fp.write(s)
         return s
 
+    def dump_reorder_pattern(self, fp: IO[str] | None = None) -> str:
+        """Sorted-pattern dump, the reference's `dump_reorderPattern`
+        (reference: PFAC/src/PFAC_reorder_Table.cpp:334-387): one line per
+        pattern in lexicographic order — original 1-based ID, length, text.
+        """
+        out = io.StringIO()
+        out.write("# [original pattern ID] [pattern length] [pattern(string literal)]\n")
+        for i, p in enumerate(self.sorted_patterns):
+            pid = int(self.pattern_ids[i])
+            out.write(f"{pid:5d} {len(p):5d}    {_print_string(p)}\n")
+        s = out.getvalue()
+        if fp is not None:
+            fp.write(s)
+        return s
+
+    def match_histogram(self, match: "np.ndarray") -> dict[int, int]:
+        """Per-pattern-ID occurrence counts from a dense match vector
+        (observability aid; the reference only reports a total count)."""
+        counts = np.bincount(
+            np.asarray(match, dtype=np.int64).clip(0),
+            minlength=self.num_final_states + 1,
+        )
+        return {i: int(c) for i, c in enumerate(counts) if i > 0 and c > 0}
+
     def memory_usage(self, perf_mode: str = "dense") -> str:
         """Table footprint report, equivalent of `PFAC_memoryUsage`
         (reference: PFAC/src/PFAC.cpp:1250-1306)."""

@@ -73,6 +73,12 @@ def cmd_profile(args) -> int:
     out = eng.match_device(data_dev)
     _ = np.asarray(out[:1])  # compile + warm (honest completion barrier)
 
+    if args.trace:
+        # one traced iteration for the profiler UI (xprof/tensorboard)
+        with jax.profiler.trace(args.trace):
+            o = eng.match_device(data_dev)
+            _ = np.asarray(o[:1])
+
     # Amortized timing: on tunneled runtimes a tiny D2H barrier costs tens
     # of ms and block_until_ready can return early, so single-dispatch
     # timing lies. Time K chained dispatches ending in one barrier.
@@ -104,6 +110,10 @@ def cmd_profile(args) -> int:
     }
     print(json.dumps(report, indent=2))
     sys.stdout.write(m.memory_usage())
+    if args.histogram:
+        hist = m.automaton.match_histogram(np.asarray(out)[:n])
+        for pid, c in sorted(hist.items(), key=lambda kv: -kv[1])[:20]:
+            print(f"pattern {pid:6d}: {c} matches")
     return 0
 
 
@@ -124,6 +134,10 @@ def main(argv=None) -> int:
             sp.add_argument("--sharded", action="store_true")
         else:
             sp.add_argument("--iters", type=int, default=5)
+            sp.add_argument("--trace", default=None, metavar="DIR",
+                            help="write a jax.profiler trace of one iteration")
+            sp.add_argument("--histogram", action="store_true",
+                            help="print per-pattern match counts")
     args = p.parse_args(argv)
     return cmd_match(args) if args.cmd == "match" else cmd_profile(args)
 

@@ -172,3 +172,27 @@ class TestDumpAndCheckpoint:
         assert np.array_equal(b.hash.row_ptr, a.hash.row_ptr)
         assert b.sorted_patterns == a.sorted_patterns
         assert b.dump_transition_table() == a.dump_transition_table()
+
+
+class TestIntrospectionExtras:
+    def test_dump_reorder_pattern(self):
+        from pfac_tpu import Automaton
+
+        a = Automaton.from_patterns([b"AB", b"ABG", b"BEDE", b"ED"])
+        s = a.dump_reorder_pattern()
+        # lexicographic order with prefix-first tiebreak: AB, ABG, BEDE, ED
+        lines = [l for l in s.splitlines() if not l.startswith("#")]
+        ids = [int(l.split()[0]) for l in lines]
+        assert ids == [1, 2, 3, 4]
+        assert '"AB"' in lines[0] and '"ABG"' in lines[1]
+        assert '"BEDE"' in lines[2] and '"ED"' in lines[3]
+
+    def test_match_histogram(self):
+        import numpy as np
+
+        from pfac_tpu import Automaton, Matcher
+
+        a = Automaton.from_patterns([b"AB", b"ABG", b"BEDE", b"ED"])
+        m = Matcher(automaton=a, platform="cpu")
+        hist = a.match_histogram(m.match(b"ABEDEDABG"))
+        assert hist == {1: 1, 2: 1, 3: 1, 4: 2}

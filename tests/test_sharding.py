@@ -109,3 +109,30 @@ class TestShardedSieve:
         expected = golden.match_dense(a, data)
         assert np.array_equal(sm.match(data), expected)
         assert sm._cap > 64
+
+
+class TestMultihostGlue:
+    """dist/multihost.py helpers on the virtual mesh (single process owning
+    all 8 'hosts'' devices — the shard-slice math must still hold)."""
+
+    def test_host_shard_slice_covers_everything(self, mesh8):
+        from pfac_tpu.dist import multihost
+
+        shard_len = 128
+        n_total = 8 * shard_len
+        start, stop = multihost.host_shard_slice(n_total, shard_len)
+        assert (start, stop) == (0, n_total)  # this process owns all devices
+
+    def test_put_host_shards_roundtrip(self, mesh8):
+        import jax
+        import numpy as np
+
+        from pfac_tpu.dist import multihost
+
+        a = Automaton.from_patterns([b"ab"])
+        sm = ShardedMatcher(a, mesh=mesh8, tile=8)
+        total = 8 * 16
+        local = np.arange(total, dtype=np.uint8)
+        arr = multihost.put_host_shards(sm, local, total)
+        assert arr.shape == (total,)
+        assert np.array_equal(np.asarray(arr), local)
