@@ -285,10 +285,12 @@ def _make_kernel(tables: SieveTables, grid: int):
                 sl = lambda ref: ref[pl.ds(rr * 8, 8), :]
                 p8 = base8 + (g_off + rr * (8 * LANES))
                 match = jnp.zeros((8, LANES), jnp.int32)
+                k2s = sl(k2_ref) if (has_m1 or m2 is not None) else None
                 if has_m1:
-                    match = _lookup(m1_planes, sl(data_ref).astype(jnp.int32))
+                    # c0 is the high byte of key2 — avoids a u8 sub-tile load
+                    match = _lookup(m1_planes, k2s >> 8)
                 if m2 is not None:
-                    k = sl(k2_ref)
+                    k = k2s
                     slot = _probe_slot(m2_disp, k, m2.lg_b, m2.lg_r, m2.slot_mul)
                     w = _lookup(m2_words, slot)
                     if m2_keyw is not None:         # wide (ids > 15 bits)
@@ -529,10 +531,15 @@ class SieveMatcher:
             self._fns[key] = fn
         return fn
 
+    #: survivor-capacity ceiling: the compaction's rank expansion allocates
+    #: cap x 1024 ints, so the cap cannot grow unboundedly — corpora that
+    #: need more survivors are pathological and route to the XLA fallback
+    CAP_MAX = 1 << 16
+
     def _dispatch(self, data_u8: jax.Array):
         n = int(data_u8.shape[0])
         npad = self._npad(n)
-        cap = min(self._cap, npad)
+        cap = min(self._cap, npad, self.CAP_MAX)
         fn = self._pipeline_fn(npad, cap)
         n_arr = jnp.full((1,), n, jnp.int32)
         result, count = fn(self._table_args, self._dense_flat, data_u8, n_arr)
@@ -566,11 +573,14 @@ class SieveMatcher:
         bad = max((int(c) for c, (_, cap) in zip(counts, pending) if int(c) > cap),
                   default=0)
         if bad:
-            self._cap = 1 << int(np.ceil(np.log2(bad + 1)))
+            self._cap = min(1 << int(np.ceil(np.log2(bad + 1))), self.CAP_MAX)
+            hint = ("capacity grown — rerun the affected match_device calls"
+                    if bad <= self.CAP_MAX else
+                    "pathological corpus — use match()/Matcher, which falls "
+                    "back to the dense lockstep walker")
             raise PfacError(
                 PfacStatus.INTERNAL_ERROR,
-                f"survivor capacity exceeded ({bad}); capacity grown — rerun "
-                "the affected match_device calls",
+                f"survivor capacity exceeded ({bad}); {hint}",
             )
 
     # ------------------------------------------------------------ host API
@@ -586,7 +596,7 @@ class SieveMatcher:
             res_np, c = jax.device_get((result, count))
             if int(c) <= cap:
                 return res_np[:n]
-            if int(c) > max(1 << 17, self._npad(n) // 8):
+            if int(c) > self.CAP_MAX:
                 # pathological corpus (e.g. long runs matching long-pattern
                 # prefixes everywhere): the filter+tail design degrades, the
                 # dense lockstep walker is the better engine — mirror of the

@@ -231,6 +231,8 @@ class ShardedMatcher:
     def _run(self, data_dev: jax.Array, n: int):
         """-> (matches sharded, match_count replicated) with sieve survivor
         capacity retry handled host-side."""
+        from ..backends.pallas_sieve import SieveMatcher
+
         while True:
             fn, _ = self._fn_for(n)
             if self.engine == "sieve":
@@ -239,10 +241,37 @@ class ShardedMatcher:
                 worst = int(np.max(jax.device_get(scounts)))
                 if worst <= self._cap:
                     return matches, count
+                if worst > SieveMatcher.CAP_MAX:
+                    # pathological corpus: per-shard survivor compaction
+                    # would blow up — use the dense lockstep walker once
+                    fn = self._xla_fallback_fn(n)
+                    return fn(data_dev)
                 self._cap = 1 << int(np.ceil(np.log2(worst + 1)))
             else:
                 return fn(self._tables, self._pair_state, self._pair_match,
                           data_dev)
+
+    def _xla_fallback_fn(self, n: int):
+        """A one-off XLA-engine sharded matcher for pathological corpora
+        (shares the mesh; its tables build lazily and are cached)."""
+        if getattr(self, "_xla_fb", None) is None:
+            self._xla_fb = ShardedMatcher(
+                self.automaton, mesh=self.mesh, perf_mode="dense",
+                tile=self.tile, engine="xla",
+            )
+        fb = self._xla_fb
+        fn, _ = fb._fn_for(n)
+        shard_len = fb._shard_len(n)
+        my_len = self._shard_len(n)
+
+        def run(data_dev):
+            # reshard: shard lengths differ between engines, so round-trip
+            # through host layout (pathological path only; clarity > speed)
+            arr = np.asarray(data_dev).reshape(-1)[: my_len * self.num_devices]
+            return fn(fb._tables, fb._pair_state, fb._pair_match,
+                      fb._put(arr[:n] if n <= arr.shape[0] else arr, shard_len))
+
+        return run
 
     # ------------------------------------------------------------ public
     def match_device(self, data_u8_global: jax.Array, n: int):

@@ -102,13 +102,29 @@ class TestShardedSieve:
         assert sm.match_count(data) == int((expected > 0).sum())
 
     def test_survivor_cap_retry(self, mesh8):
-        a = Automaton.from_patterns([b"aaaaaaa"])
+        # moderate survivor overflow: capacity grows and the sieve reruns
+        a = Automaton.from_patterns([b"aaaaaaa", b"bq"])
         sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
         sm._cap = 64
-        data = b"a" * (65536 * 8)
+        rng = np.random.default_rng(0)
+        data = bytearray(rng.integers(98, 122, size=65536 * 8, dtype=np.uint8).tobytes())
+        for off in range(0, len(data) - 8, 500):   # ~130 survivors per shard
+            data[off:off + 7] = b"aaaaaaa"
+        data = bytes(data)
         expected = golden.match_dense(a, data)
         assert np.array_equal(sm.match(data), expected)
         assert sm._cap > 64
+
+    def test_pathological_corpus_falls_back(self, mesh8):
+        # every position alive: survivors exceed CAP_MAX -> XLA fallback
+        from pfac_tpu.backends.pallas_sieve import SieveMatcher
+
+        a = Automaton.from_patterns([b"aaaaaaa"])
+        sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
+        data = b"a" * (65536 * 8)
+        assert 65536 * 8 // 8 > SieveMatcher.CAP_MAX // 8  # sanity: overflows
+        expected = golden.match_dense(a, data)
+        assert np.array_equal(sm.match(data), expected)
 
 
 class TestMultihostGlue:
