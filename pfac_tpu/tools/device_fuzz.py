@@ -1,0 +1,86 @@
+"""On-device randomized differential fuzz: compiled engines vs golden.
+
+The pytest suite runs on a CPU mesh (kernels in interpret mode); this tool
+drives the COMPILED paths on the attached accelerator across randomized
+rule sets and corpora — the only way to catch Mosaic lowering divergences.
+
+Usage:  python -m pfac_tpu.tools.device_fuzz [--cases N] [--seed S]
+Exits nonzero on the first mismatch, printing a reproducer.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _random_case(rng: np.random.Generator):
+    alpha = int(rng.integers(2, 257))
+    k = int(rng.integers(1, 200))
+    pats, seen = [], set()
+    for _ in range(k):
+        ln = int(np.clip(rng.gamma(1.8, 4.0) + 1, 1, 64))
+        p = bytes(rng.integers(0, alpha, size=ln).astype(np.uint8))
+        if p not in seen:
+            seen.add(p)
+            pats.append(p)
+    n = int(rng.integers(1, 400_000))
+    data = bytearray(rng.integers(0, alpha, size=n).astype(np.uint8).tobytes())
+    # plant pattern occurrences, including at the very end
+    for _ in range(min(20, n)):
+        p = pats[int(rng.integers(0, len(pats)))]
+        if len(p) <= n:
+            off = int(rng.integers(0, n - len(p) + 1))
+            data[off:off + len(p)] = p
+    p = pats[0]
+    if len(p) <= n:
+        data[n - len(p):] = p
+    return pats, bytes(data)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sharded", action="store_true",
+                    help="also fuzz the sharded path on the local mesh")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..core.automaton import Automaton
+    from ..backends import golden
+    from ..runtime.handle import Matcher
+
+    print(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(args.seed)
+    for case in range(args.cases):
+        pats, data = _random_case(rng)
+        a = Automaton.from_patterns(pats)
+        m = Matcher(automaton=a)
+        got = m.match(data)
+        exp = golden.match_dense(a, data)
+        if not np.array_equal(got, exp):
+            bad = np.nonzero(got != exp)[0][:5]
+            print(f"MISMATCH case={case} seed={args.seed} "
+                  f"k={len(pats)} n={len(data)} at {bad.tolist()}")
+            for b in bad:
+                print(f"  pos {b}: got {got[b]} expected {exp[b]}")
+            return 1
+        if args.sharded:
+            from ..dist.sharding import ShardedMatcher
+            sm = ShardedMatcher(a)
+            got2 = sm.match(data)
+            if not np.array_equal(got2, exp):
+                print(f"SHARDED MISMATCH case={case} seed={args.seed}")
+                return 1
+        nm = int((exp > 0).sum())
+        print(f"case {case:3d}: ok  engine={type(m._engine()).__name__} "
+              f"k={len(pats)} n={len(data)} matches={nm}")
+    print("all cases passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
