@@ -607,8 +607,8 @@ class SieveMatcher:
             self._cap = 1 << int(np.ceil(np.log2(int(c) + 1)))
 
     def match_reduce_device(self, data_u8):
-        from .xla import _reduce_padded
-        return _reduce_padded(self.match_device(data_u8))
+        from .xla import _reduce_rowgather
+        return _reduce_rowgather(self.match_device(data_u8))
 
     def match_reduce(self, data):
         from .xla import host_reduce
