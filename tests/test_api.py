@@ -107,3 +107,51 @@ class TestCapi:
         assert "number of states = 11" in text
         assert capi.PFAC_memoryUsage(h) == PfacStatus.SUCCESS
         assert "time-driven" in capsys.readouterr().out
+
+
+class TestConcurrentHandles:
+    """Reference T5 parity (PFAC/test/SimpleMultiGPU_pthread.cpp): multiple
+    independent handles driven from concurrent host threads. No global
+    state — the reference needed a texture-bind mutex (its C18); we must
+    need nothing."""
+
+    def test_two_threads_independent_matchers(self):
+        import threading
+
+        import numpy as np
+
+        from pfac_tpu import Matcher
+
+        results = {}
+        errors = []
+
+        def work(name, pats, data, expected):
+            try:
+                m = Matcher(pats, platform="cpu_parallel", tile=64)
+                for _ in range(3):
+                    results[name] = m.match(data).tolist()
+                    assert results[name] == expected
+            except Exception as e:  # pragma: no cover
+                errors.append((name, e))
+
+        t1 = threading.Thread(target=work, args=(
+            "a", [b"AB", b"ABG", b"BEDE", b"ED"], b"ABEDEDABG",
+            [1, 3, 4, 0, 4, 0, 2, 0, 0]))
+        t2 = threading.Thread(target=work, args=(
+            "b", [b"s", b"h", b"he", b"she", b"hers", b"her", b"his", b"iis", b"is", b"ii"],
+            b"sheshershisiis", None))
+        # compute thread-b's expectation single-threaded first
+        from pfac_tpu.backends import golden
+        from pfac_tpu import Automaton
+        exp_b = golden.match_dense(
+            Automaton.from_patterns(
+                [b"s", b"h", b"he", b"she", b"hers", b"her", b"his", b"iis", b"is", b"ii"]),
+            b"sheshershisiis").tolist()
+        t2 = threading.Thread(target=work, args=(
+            "b", [b"s", b"h", b"he", b"she", b"hers", b"her", b"his", b"iis", b"is", b"ii"],
+            b"sheshershisiis", exp_b))
+        t1.start(); t2.start()
+        t1.join(); t2.join()
+        assert not errors, errors
+        assert results["a"] == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+        assert results["b"] == exp_b
