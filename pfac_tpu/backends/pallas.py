@@ -43,6 +43,11 @@ def try_build(automaton, mode, *, placement, tile, device, required: bool):
         return SieveMatcher(automaton, interpret=not on_tpu, device=device)
     except PfacError:
         pass
+    except Exception:
+        # e.g. a CHD displacement search that fails to converge on an
+        # adversarial key set — fall through to the next backend
+        if required:
+            raise
 
     from .pallas_ladder import LadderMatcher, LadderTables
 

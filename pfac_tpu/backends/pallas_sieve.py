@@ -538,6 +538,12 @@ class SieveMatcher:
 
     def _dispatch(self, data_u8: jax.Array):
         n = int(data_u8.shape[0])
+        if n > (1 << 31) - (1 << 17):
+            raise PfacError(
+                PfacStatus.INVALID_PARAMETER,
+                "input exceeds int32 position range; shard it "
+                "(dist.ShardedMatcher) or feed <2 GiB chunks",
+            )
         npad = self._npad(n)
         cap = min(self._cap, npad, self.CAP_MAX)
         fn = self._pipeline_fn(npad, cap)
