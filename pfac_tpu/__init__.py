@@ -13,6 +13,7 @@ from .status import PfacError, PfacStatus, get_error_string
 from .core.automaton import Automaton
 from .core.parser import ParsedPatterns, parse_pattern_bytes, parse_pattern_file, patterns_from_list
 from .runtime.handle import Matcher, Platform, PerfMode, PlacementMode
+from .runtime.stream import StreamMatcher
 
 __version__ = "0.1.0"
 
@@ -25,6 +26,7 @@ __all__ = [
     "PfacStatus",
     "Platform",
     "PlacementMode",
+    "StreamMatcher",
     "get_error_string",
     "parse_pattern_bytes",
     "parse_pattern_file",

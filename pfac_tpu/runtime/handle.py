@@ -138,6 +138,12 @@ class Matcher:
     def match_reduce_device(self, data_u8):
         return self._engine().match_reduce_device(data_u8)
 
+    def stream(self, *, min_batch: int = 1 << 20):
+        """A StreamMatcher over this handle: exact chunked matching with
+        carry-over across chunk boundaries (see runtime/stream.py)."""
+        from .stream import StreamMatcher
+        return StreamMatcher(self, min_batch=min_batch)
+
     # --------------------------------------------------------- introspect
     def dump_transition_table(self, fp=None) -> str:
         return self.automaton.dump_transition_table(fp)
