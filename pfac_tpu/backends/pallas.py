@@ -26,7 +26,14 @@ def _default_platform() -> str:
 
 def try_build(automaton, mode, *, placement, tile, device, required: bool):
     del mode  # the sieve/ladder kernels subsume dense/hash: same semantics
-    del placement
+    # placement maps the reference's texture mode (PFAC_setTextureMode):
+    # VMEM (TEXTURE_ON analog) forces the VMEM-table Pallas path, HBM
+    # (TEXTURE_OFF) forces the HBM-gather XLA walker, AUTO picks.
+    from ..runtime.handle import PlacementMode
+
+    if placement == PlacementMode.HBM:
+        return None
+    required = required or placement == PlacementMode.VMEM
     on_tpu = _default_platform() == "tpu"
     if not on_tpu and not required:
         return None

@@ -155,3 +155,21 @@ class TestConcurrentHandles:
         assert not errors, errors
         assert results["a"] == [1, 3, 4, 0, 4, 0, 2, 0, 0]
         assert results["b"] == exp_b
+
+
+class TestPlacementModes:
+    def test_hbm_placement_forces_xla(self):
+        from pfac_tpu import Matcher
+        from pfac_tpu.backends.xla import XlaMatcher
+
+        m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], placement="hbm", tile=64)
+        assert isinstance(m._engine(), XlaMatcher)
+        assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+    def test_vmem_placement_forces_pallas(self):
+        from pfac_tpu import Matcher
+        from pfac_tpu.backends.pallas_sieve import SieveMatcher
+
+        m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], placement="texture_on")
+        assert isinstance(m._engine(), SieveMatcher)  # interpret mode on CPU
+        assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
