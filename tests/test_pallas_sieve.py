@@ -167,3 +167,30 @@ class TestSieveMatcher:
 
     def test_duplicate_patterns_later_id_wins(self):
         _check([b"ab", b"ab", b"abc"], b"zabcab")
+
+
+class TestExactGridBoundaries:
+    @pytest.mark.parametrize("n", [65536 - 1, 65536, 65536 + 1])
+    def test_corpus_length_at_grid_multiple(self, n):
+        rng = np.random.default_rng(n)
+        pats = [b"ab", b"abc", b"abcd", b"d"]
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        data = bytearray(rng.integers(97, 101, size=n, dtype=np.uint8).tobytes())
+        data[-4:] = b"abcd"      # match touching the exact end
+        data = bytes(data)
+        expected = golden.match_dense(a, data)
+        assert m.match(data).tolist() == expected.tolist()
+
+    def test_count_exactly_cap(self):
+        # survivors == cap exactly must not trigger overflow retry
+        a = Automaton.from_patterns([b"wxyz!"])
+        m = SieveMatcher(a, interpret=True)
+        m._cap = 8
+        data = bytearray(2000)
+        for i in range(8):
+            data[i * 100: i * 100 + 5] = b"wxyz!"
+        got = m.match(bytes(data))
+        expected = golden.match_dense(a, bytes(data))
+        assert got.tolist() == expected.tolist()
+        assert m._cap == 8  # no growth happened
