@@ -157,22 +157,22 @@ class SieveTables:
             ks = np.array(sorted(len2.keys()), dtype=np.uint32)
             vs = np.array([len2[int(k)] for k in ks], dtype=np.uint32)
             if wide_ids:
-                t, kw = chd.build_exact_wide(ks, vs)
+                t, kw = chd.build_exact_wide2(ks, vs)
                 m2 = _Probe.from_chd(t, kw)
             else:
-                m2 = _Probe.from_chd(chd.build_exact(ks, vs))
+                m2 = _Probe.from_chd(chd.build_exact2(ks, vs))
 
         m3 = None
         if len3:
             ks = np.array(sorted(len3.keys()), dtype=np.uint32)
             vs = np.array([len3[int(k)] for k in ks], dtype=np.uint32)
-            t, kw = chd.build_exact_wide(ks, vs)
+            t, kw = chd.build_exact_wide2(ks, vs)
             m3 = _Probe.from_chd(t, kw)
 
         alive = None
         if alive_keys:
             ks = np.array(sorted(alive_keys), dtype=np.int64).astype(np.uint32)
-            alive = _Probe.from_chd(chd.build_resid(ks, bits=16))
+            alive = _Probe.from_chd(chd.build_resid2(ks))
 
         vmem = 0
         if m1 is not None:
@@ -214,12 +214,14 @@ def _lookup(ref, w):
     return acc
 
 
-def _probe_slot(disp_planes, key, lg_b, lg_r, slot_mul):
-    bk = (key * _I32(chd.MIX_BUCKET)) >> (32 - lg_b) & ((1 << lg_b) - 1)
+def _probe_slot(disp_planes, prod, lg_b, lg_r):
+    """Fused CHD slot: bucket and h1 are bit ranges of ONE product
+    prod = key * slot_mul (chd.build_*2 tables)."""
+    bk = (prod >> (32 - lg_b)) & ((1 << lg_b) - 1)
     wd = _lookup(disp_planes, bk >> 1)
     # uniform shift + select beats a per-lane variable shift on the VPU
     d = jnp.where((bk & 1) == 1, wd >> 16, wd) & 0xFFFF
-    h1 = (key * _I32(slot_mul)) >> (32 - lg_r) & ((1 << lg_r) - 1)
+    h1 = (prod >> (32 - lg_b - lg_r)) & ((1 << lg_r) - 1)
     return (h1 ^ d) & ((1 << lg_r) - 1)
 
 
@@ -273,17 +275,18 @@ def _make_kernel(tables: SieveTables, grid: int):
         k3_ref[:] = key3
         k4_ref[:] = key4
 
-        # per-row-group position base (for end-of-input masking)
+        # remaining-bytes base for end-of-input masking: rd = n - position;
+        # probes require rd > depth (their last byte read must be < n)
         base8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
                  + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1))
-        g_off = g * (TILE_ROWS * LANES)
+        n_loc = n - g * (TILE_ROWS * LANES)
 
         # ---- per row-group probes
         def sub_blk(r, _):
             for u in range(UNROLL):
                 rr = r * UNROLL + u
                 sl = lambda ref: ref[pl.ds(rr * 8, 8), :]
-                p8 = base8 + (g_off + rr * (8 * LANES))
+                rd = (n_loc - rr * (8 * LANES)) - base8
                 match = jnp.zeros((8, LANES), jnp.int32)
                 k2s = sl(k2_ref) if (has_m1 or m2 is not None) else None
                 if has_m1:
@@ -291,36 +294,35 @@ def _make_kernel(tables: SieveTables, grid: int):
                     match = _lookup(m1_planes, k2s >> 8)
                 if m2 is not None:
                     k = k2s
-                    slot = _probe_slot(m2_disp, k, m2.lg_b, m2.lg_r, m2.slot_mul)
+                    prod = k * _I32(m2.slot_mul)
+                    slot = _probe_slot(m2_disp, prod, m2.lg_b, m2.lg_r)
                     w = _lookup(m2_words, slot)
                     if m2_keyw is not None:         # wide (ids > 15 bits)
-                        kw = _lookup(m2_keyw, slot)  # empty key word = -1
-                        hit = (kw == k) & (p8 + 1 < n)
-                        match = jnp.where(hit, w >> 1, match)
+                        kw = _lookup(m2_keyw, slot)
+                        hit = (kw == k) & (rd > 1)
+                        match = jnp.where(hit, w, match)
                     else:
-                        # real entries are odd (valid bit), so w != 0
-                        # excludes empty slots — cheaper than testing the
-                        # valid bit, and required: key 0 probing an empty
-                        # slot must not clobber an m1 match with value 0
-                        hit = ((((w >> 16) & 0xFFFF) == k) & (w != 0)
-                               & (p8 + 1 < n))
-                        match = jnp.where(hit, (w >> 1) & 0x7FFF, match)
+                        # empty slots hold a member key in the key field
+                        # (chd.build_exact2), so key equality alone decides
+                        hit = (((w >> 16) & 0xFFFF) == k) & (rd > 1)
+                        match = jnp.where(hit, w & 0x7FFF, match)
                 if m3 is not None:
                     k = sl(k3_ref)
-                    slot = _probe_slot(m3_disp, k, m3.lg_b, m3.lg_r, m3.slot_mul)
+                    prod = k * _I32(m3.slot_mul)
+                    slot = _probe_slot(m3_disp, prod, m3.lg_b, m3.lg_r)
                     w = _lookup(m3_words, slot)
-                    kw = _lookup(m3_keyw, slot)     # empty key word = -1
-                    hit = (kw == k) & (p8 + 2 < n)
-                    match = jnp.where(hit, w >> 1, match)
-                out = jnp.where(p8 < n, match, 0)
+                    kw = _lookup(m3_keyw, slot)     # empty = a member key
+                    hit = (kw == k) & (rd > 2)
+                    match = jnp.where(hit, w, match)
+                out = jnp.where(rd > 0, match, 0)
                 if alive is not None:
                     k = sl(k4_ref)
-                    slot = _probe_slot(al_disp, k, alive.lg_b, alive.lg_r,
-                                       alive.slot_mul)
+                    prod = k * _I32(alive.slot_mul)
+                    slot = _probe_slot(al_disp, prod, alive.lg_b, alive.lg_r)
                     w = _lookup(al_words, slot >> 1)
                     r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
-                    expect = ((k * _I32(chd.MIX_RESID)) >> 16) & 0xFFFF
-                    a = (r16 == expect) & (p8 + 3 < n)
+                    # the stored residual is the product's low 16 bits
+                    a = (r16 == (prod & 0xFFFF)) & (rd > 3)
                     out = out | (a.astype(jnp.int32) << 30)
                 out_ref[pl.ds(rr * 8, 8), :] = out
             return 0

@@ -71,7 +71,21 @@ class ChdTable:
         self.lg_slots = int(np.log2(self.num_slots))
 
 
-def _assign_slots(keys: np.ndarray, r: int, b: int, salt: int) -> tuple[np.ndarray, np.ndarray] | None:
+def _h_fused(keys: np.ndarray, b: int, r: int, salt: int):
+    """Fused hashing: bucket, h1 AND the 16-bit residual all come from ONE
+    product key*mul — the kernel then needs a single multiply per probe
+    (bucket = top lg_b bits, h1 = next lg_r bits, residual = low 16)."""
+    lg_b, lg_r = int(np.log2(b)), int(np.log2(r))
+    assert lg_b + lg_r <= 32
+    prod = keys.astype(np.uint32) * np.uint32(slot_multiplier(salt))
+    bucket = (prod >> np.uint32(32 - lg_b)).astype(np.int64) & (b - 1)
+    h1 = (prod >> np.uint32(32 - lg_b - lg_r)).astype(np.int64) & (r - 1)
+    resid = (prod & np.uint32(0xFFFF)).astype(np.int64)
+    return bucket, h1, resid
+
+
+def _assign_slots(keys: np.ndarray, r: int, b: int, salt: int,
+                  fused: bool = False) -> tuple[np.ndarray, np.ndarray] | None:
     """CHD displacement search. Returns (disp[B], slot_of_key[n]) or None.
 
     The native C++ implementation (native/pfac_host.cpp::chd_assign) is
@@ -81,13 +95,16 @@ def _assign_slots(keys: np.ndarray, r: int, b: int, salt: int) -> tuple[np.ndarr
     """
     from . import native
 
-    nat = native.chd_assign(keys, r, b, slot_multiplier(salt))
+    nat = native.chd_assign(keys, r, b, slot_multiplier(salt), fused=fused)
     if nat is not NotImplemented:
         return nat  # (disp, slot_of) or None (infeasible)
 
     n = keys.shape[0]
-    buckets = _h_bucket(keys, b)
-    h1 = _h_slot(keys, r, salt)
+    if fused:
+        buckets, h1, _ = _h_fused(keys, b, r, salt)
+    else:
+        buckets = _h_bucket(keys, b)
+        h1 = _h_slot(keys, r, salt)
     order = np.argsort(-np.bincount(buckets, minlength=b), kind="stable")
     by_bucket: list[list[int]] = [[] for _ in range(b)]
     for i, bk in enumerate(buckets):
@@ -117,7 +134,8 @@ def _assign_slots(keys: np.ndarray, r: int, b: int, salt: int) -> tuple[np.ndarr
     return disp, slot_of
 
 
-def _build(keys: np.ndarray, r: int | None = None) -> tuple[np.ndarray, np.ndarray, int, int, int]:
+def _build(keys: np.ndarray, r: int | None = None,
+           fused: bool = False) -> tuple[np.ndarray, np.ndarray, int, int, int]:
     """Search (R, B, salt) combos in ascending kernel-cost order.
 
     Kernel probe cost is linear in table words scanned, so prefer the
@@ -132,6 +150,8 @@ def _build(keys: np.ndarray, r: int | None = None) -> tuple[np.ndarray, np.ndarr
     for r_try in (r_min, r_min * 2, r_min * 4, r_min * 8):
         for b_try in (_pow2(max(8, n // 8)), _pow2(max(8, n // 4)),
                       _pow2(max(8, n // 2)), _pow2(max(8, n))):
+            if fused and int(np.log2(r_try)) + int(np.log2(b_try)) > 32:
+                continue
             candidates.append((r_try, b_try))
     # ascending total scanned words (resid packing: R/4 + B/2 as proxy)
     candidates.sort(key=lambda rb: rb[0] + rb[1])
@@ -141,7 +161,7 @@ def _build(keys: np.ndarray, r: int | None = None) -> tuple[np.ndarray, np.ndarr
             continue
         seen.add((r_try, b_try))
         for salt in range(24):
-            res = _assign_slots(keys, r_try, b_try, salt)
+            res = _assign_slots(keys, r_try, b_try, salt, fused=fused)
             if res is not None:
                 disp, slot_of = res
                 return disp, slot_of, r_try, b_try, salt
@@ -247,3 +267,88 @@ def lookup_resid(t: ChdTable, key: int) -> bool:
     w = int(np.uint32(t.slot_words[slot // per_word]))
     stored = (w >> (bits * (slot % per_word))) & ((1 << bits) - 1)
     return stored == int(h_resid(np.array([k], np.uint32), bits)[0])
+
+
+# ---------------------------------------------------------------------------
+# Fused-hash builders (the sieve kernel's tables): ONE multiply per probe
+# derives bucket (top bits), h1 (next bits) and the 16-bit residual (low
+# bits). Exact tables use the "member-key fill" trick for empty slots:
+# an empty slot's key field holds an arbitrary MEMBER key, which no probe
+# can match there (members always probe their own slots), so the kernel
+# needs no valid-bit test at all.
+# ---------------------------------------------------------------------------
+
+def build_exact2(keys: np.ndarray, values: np.ndarray) -> ChdTable:
+    """Fused exact table: word = key16 << 16 | value15; empty slots hold
+    (member_key << 16) so key-compare alone decides the hit."""
+    keys = np.asarray(keys, dtype=np.uint32)
+    values = np.asarray(values, dtype=np.uint32)
+    assert keys.size > 0 and keys.max() < (1 << 16) and values.max() < (1 << 15)
+    disp, slot_of, r, b, salt = _build(keys, fused=True)
+    words = np.full(r, np.uint32(keys[0]) << np.uint32(16), dtype=np.uint32)
+    words[slot_of] = (keys << np.uint32(16)) | values
+    return ChdTable(disp=disp, slot_words=words.astype(np.int32),
+                    num_buckets=b, num_slots=r, kind="exact2", salt=salt)
+
+
+def build_exact_wide2(keys: np.ndarray, values: np.ndarray) -> tuple[ChdTable, np.ndarray]:
+    """Fused wide exact table: full key word + bare value word."""
+    keys = np.asarray(keys, dtype=np.uint32)
+    values = np.asarray(values, dtype=np.uint32)
+    assert keys.size > 0 and values.max() < (1 << 30)
+    disp, slot_of, r, b, salt = _build(keys, fused=True)
+    words = np.zeros(r, dtype=np.uint32)
+    words[slot_of] = values
+    key_words = np.full(r, keys[0], dtype=np.uint32)
+    key_words[slot_of] = keys
+    t = ChdTable(disp=disp, slot_words=words.astype(np.int32),
+                 num_buckets=b, num_slots=r, kind="exact_wide2", salt=salt)
+    return t, key_words.view(np.int32)
+
+
+def build_resid2(keys: np.ndarray) -> ChdTable:
+    """Fused residual filter: stored residual = low 16 bits of the probe
+    product (no separate residual hash), 2 per int32 word."""
+    keys = np.asarray(keys, dtype=np.uint32)
+    assert keys.size > 0
+    disp, slot_of, r, b, salt = _build(keys, fused=True)
+    _, _, resid_of = _h_fused(keys, b, r, salt)
+    resid = np.full(r, 0x5555, dtype=np.uint32)
+    resid[slot_of] = resid_of.astype(np.uint32)
+    words = np.zeros(r // 2, dtype=np.uint32)
+    words |= resid[0::2]
+    words |= resid[1::2] << np.uint32(16)
+    return ChdTable(disp=disp, slot_words=words.astype(np.int32),
+                    num_buckets=b, num_slots=r, kind="resid2", salt=salt)
+
+
+def _fused_slot(t: ChdTable, key: int) -> tuple[int, int]:
+    k = np.uint32(key)
+    b, r = t.num_buckets, t.num_slots
+    lg_b, lg_r = int(np.log2(b)), int(np.log2(r))
+    prod = np.uint32(k * np.uint32(slot_multiplier(t.salt)))
+    bk = int(prod >> np.uint32(32 - lg_b)) & (b - 1)
+    h1 = int(prod >> np.uint32(32 - lg_b - lg_r)) & (r - 1)
+    slot = (h1 ^ int(t.disp[bk])) & (r - 1)
+    return slot, int(prod & np.uint32(0xFFFF))
+
+
+def lookup_exact2(t: ChdTable, key: int) -> int:
+    """Oracle: value if key present else 0 (value 0 never stored)."""
+    slot, _ = _fused_slot(t, key)
+    w = int(np.uint32(t.slot_words[slot]))
+    return (w & 0x7FFF) if (w >> 16) == int(key) else 0
+
+
+def lookup_exact_wide2(t: ChdTable, key_words: np.ndarray, key: int) -> int:
+    slot, _ = _fused_slot(t, key)
+    if np.uint32(key_words[slot]) == np.uint32(key):
+        return int(np.uint32(t.slot_words[slot]))
+    return 0
+
+
+def lookup_resid2(t: ChdTable, key: int) -> bool:
+    slot, resid = _fused_slot(t, key)
+    w = int(np.uint32(t.slot_words[slot // 2]))
+    stored = (w >> (16 * (slot % 2))) & 0xFFFF
+    return stored == resid

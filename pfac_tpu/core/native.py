@@ -68,13 +68,14 @@ def _load():
         lib.pfac_compile.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.pfac_compile_free.argtypes = [ctypes.POINTER(_CompileResult)]
         lib.chd_assign.restype = ctypes.c_int
-        lib.chd_assign.argtypes = [
+        lib.chd_assign_fused.restype = ctypes.c_int
+        lib.chd_assign_fused.argtypes = lib.chd_assign.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.pfac_host_abi_version.restype = ctypes.c_int
-        if lib.pfac_host_abi_version() != 1:
+        if lib.pfac_host_abi_version() != 2:
             return None
         return lib
 
@@ -114,16 +115,18 @@ def compile_patterns(data: bytes):
         lib.pfac_compile_free(res)
 
 
-def chd_assign(keys: np.ndarray, r: int, b: int, slot_mul: int):
+def chd_assign(keys: np.ndarray, r: int, b: int, slot_mul: int,
+               fused: bool = False):
     """Native CHD displacement search; returns (disp, slot_of) or None
     (None also signals 'infeasible for this (r, b, salt)')."""
     lib = _load()
-    if lib is None:
+    if lib is None or (fused and not hasattr(lib, "chd_assign_fused")):
         return NotImplemented  # caller falls back to Python
     keys = np.ascontiguousarray(keys, dtype=np.uint32)
     disp = np.zeros(b, dtype=np.uint16)
     slot_of = np.zeros(keys.shape[0], dtype=np.int32)
-    rc = lib.chd_assign(
+    fn = lib.chd_assign_fused if fused else lib.chd_assign
+    rc = fn(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         keys.shape[0], r, b, ctypes.c_uint32(slot_mul),
         disp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

@@ -179,8 +179,11 @@ static inline uint32_t h_slot(uint32_t key, int lg_r, uint32_t mul) {
 }
 
 // Returns 0 on success. disp: uint16[b]; slot_of: int32[n].
-int chd_assign(const uint32_t* keys, int64_t n, int32_t r, int32_t b,
-               uint32_t slot_mul, uint16_t* disp, int32_t* slot_of) {
+// fused != 0: bucket and h1 both derive from keys[i]*slot_mul (the sieve
+// kernel's one-multiply probe); fused == 0: classic split hashing.
+static int chd_assign_impl(const uint32_t* keys, int64_t n, int32_t r,
+                           int32_t b, uint32_t slot_mul, int fused,
+                           uint16_t* disp, int32_t* slot_of) {
   int lg_r = 0, lg_b = 0;
   while ((1 << lg_r) < r) ++lg_r;
   while ((1 << lg_b) < b) ++lg_b;
@@ -188,8 +191,14 @@ int chd_assign(const uint32_t* keys, int64_t n, int32_t r, int32_t b,
   std::vector<std::vector<int64_t>> buckets(b);
   std::vector<uint32_t> h1(n);
   for (int64_t i = 0; i < n; ++i) {
-    buckets[h_bucket(keys[i], lg_b)].push_back(i);
-    h1[i] = h_slot(keys[i], lg_r, slot_mul) & static_cast<uint32_t>(r - 1);
+    if (fused) {
+      const uint32_t prod = keys[i] * slot_mul;
+      buckets[(prod >> (32 - lg_b)) & static_cast<uint32_t>(b - 1)].push_back(i);
+      h1[i] = (prod >> (32 - lg_b - lg_r)) & static_cast<uint32_t>(r - 1);
+    } else {
+      buckets[h_bucket(keys[i], lg_b)].push_back(i);
+      h1[i] = h_slot(keys[i], lg_r, slot_mul) & static_cast<uint32_t>(r - 1);
+    }
   }
   std::vector<int32_t> order(b);
   for (int32_t i = 0; i < b; ++i) order[i] = i;
@@ -229,6 +238,16 @@ int chd_assign(const uint32_t* keys, int64_t n, int32_t r, int32_t b,
   return 0;
 }
 
-int pfac_host_abi_version() { return 1; }
+int chd_assign(const uint32_t* keys, int64_t n, int32_t r, int32_t b,
+               uint32_t slot_mul, uint16_t* disp, int32_t* slot_of) {
+  return chd_assign_impl(keys, n, r, b, slot_mul, /*fused=*/0, disp, slot_of);
+}
+
+int chd_assign_fused(const uint32_t* keys, int64_t n, int32_t r, int32_t b,
+                     uint32_t slot_mul, uint16_t* disp, int32_t* slot_of) {
+  return chd_assign_impl(keys, n, r, b, slot_mul, /*fused=*/1, disp, slot_of);
+}
+
+int pfac_host_abi_version() { return 2; }
 
 }  // extern "C"
