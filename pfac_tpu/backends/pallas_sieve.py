@@ -83,25 +83,42 @@ def _pack_u16(vals: np.ndarray) -> np.ndarray:
     return w.astype(np.int32)
 
 
+def _pack_u8(vals: np.ndarray) -> np.ndarray:
+    """uint8 values packed 4 per int32 word."""
+    v = np.asarray(vals, dtype=np.uint32)
+    pad = np.zeros(-(-v.shape[0] // 4) * 4, dtype=np.uint32)
+    pad[: v.shape[0]] = v
+    w = (pad[0::4] | (pad[1::4] << np.uint32(8))
+         | (pad[2::4] << np.uint32(16)) | (pad[3::4] << np.uint32(24)))
+    return w.astype(np.int32)
+
+
 @dataclasses.dataclass
 class _Probe:
     """One CHD probe's device arrays + static config."""
-    disp: np.ndarray           # lane-major planes of packed u16 displacements
+    disp: np.ndarray           # lane-major planes of packed displacements
     words: np.ndarray          # lane-major planes of payload words
     keyw: np.ndarray | None    # lane-major planes of key words (wide exact)
     lg_b: int
     lg_r: int
     slot_mul: int
+    disp_u8: bool = False      # displacements packed 4/word instead of 2
 
     @classmethod
     def from_chd(cls, t: chd.ChdTable, key_words: np.ndarray | None = None):
+        # u8-packed displacements halve the disp planes (one fewer gather
+        # per probe) whenever every displacement fits a byte and the
+        # packing actually shrinks the plane count
+        disp_u8 = bool(t.disp.max() < 256) and t.num_buckets // 2 > LANES
+        pack = _pack_u8 if disp_u8 else _pack_u16
         return cls(
-            disp=_expand_planes(_pack_u16(t.disp)),
+            disp=_expand_planes(pack(t.disp)),
             words=_expand_planes(t.slot_words),
             keyw=_expand_planes(key_words) if key_words is not None else None,
             lg_b=int(np.log2(t.num_buckets)),
             lg_r=t.lg_slots,
             slot_mul=chd.slot_multiplier(t.salt),
+            disp_u8=disp_u8,
         )
 
     @property
@@ -115,6 +132,7 @@ class _Probe:
 @dataclasses.dataclass
 class SieveTables:
     m1: np.ndarray | None      # (16,128) direct table planes, or None
+    m1_chain: tuple | None     # ((byte, id), ...) compare-chain for tiny sets
     m2: _Probe | None          # exact16 on (c0<<8|c1)
     m3: _Probe | None          # wide exact on (c0<<16|c1<<8|c2)
     alive: _Probe | None       # resid16 on (c0<<24|c1<<16|c2<<8|c3)
@@ -146,11 +164,17 @@ class SieveTables:
                 )
 
         m1 = None
+        m1_chain = None
         if len1:
-            t = np.zeros(256, np.int32)
-            for ch, pid in len1.items():
-                t[ch] = pid
-            m1 = _expand_planes(t)
+            if len(len1) <= 12:
+                # a short compare/select chain is ALU work hidden under the
+                # probe gathers' latency — two fewer gathers per row-group
+                m1_chain = tuple(sorted(len1.items()))
+            else:
+                t = np.zeros(256, np.int32)
+                for ch, pid in len1.items():
+                    t[ch] = pid
+                m1 = _expand_planes(t)
 
         m2 = None
         if len2:
@@ -180,7 +204,8 @@ class SieveTables:
         for p in (m2, m3, alive):
             if p is not None:
                 vmem += sum(a.size for a in p.arrays) * 4
-        return cls(m1=m1, m2=m2, m3=m3, alive=alive, vmem_bytes=vmem)
+        return cls(m1=m1, m1_chain=m1_chain, m2=m2, m3=m3, alive=alive,
+                   vmem_bytes=vmem)
 
     @property
     def arrays(self) -> list[np.ndarray]:
@@ -214,13 +239,19 @@ def _lookup(ref, w):
     return acc
 
 
-def _probe_slot(disp_planes, prod, lg_b, lg_r):
+def _probe_slot(p: "_Probe", disp_planes, prod):
     """Fused CHD slot: bucket and h1 are bit ranges of ONE product
     prod = key * slot_mul (chd.build_*2 tables)."""
+    lg_b, lg_r = p.lg_b, p.lg_r
     bk = (prod >> (32 - lg_b)) & ((1 << lg_b) - 1)
-    wd = _lookup(disp_planes, bk >> 1)
-    # uniform shift + select beats a per-lane variable shift on the VPU
-    d = jnp.where((bk & 1) == 1, wd >> 16, wd) & 0xFFFF
+    if p.disp_u8:
+        wd = _lookup(disp_planes, bk >> 2)
+        # uniform shifts + selects beat per-lane variable shifts on the VPU
+        lo = jnp.where((bk & 1) == 1, wd >> 8, wd)
+        d = jnp.where((bk & 2) == 2, lo >> 16, lo) & 0xFF
+    else:
+        wd = _lookup(disp_planes, bk >> 1)
+        d = jnp.where((bk & 1) == 1, wd >> 16, wd) & 0xFFFF
     h1 = (prod >> (32 - lg_b - lg_r)) & ((1 << lg_r) - 1)
     return (h1 ^ d) & ((1 << lg_r) - 1)
 
@@ -228,6 +259,8 @@ def _probe_slot(disp_planes, prod, lg_b, lg_r):
 def _make_kernel(tables: SieveTables, grid: int):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
+
+    m1_chain = tables.m1_chain
 
     def kernel(n_ref, data_ref, halo_ref, *refs):
         i = 0
@@ -288,14 +321,19 @@ def _make_kernel(tables: SieveTables, grid: int):
                 sl = lambda ref: ref[pl.ds(rr * 8, 8), :]
                 rd = (n_loc - rr * (8 * LANES)) - base8
                 match = jnp.zeros((8, LANES), jnp.int32)
-                k2s = sl(k2_ref) if (has_m1 or m2 is not None) else None
-                if has_m1:
+                need_k2 = has_m1 or m1_chain is not None or m2 is not None
+                k2s = sl(k2_ref) if need_k2 else None
+                if m1_chain is not None:
                     # c0 is the high byte of key2 — avoids a u8 sub-tile load
+                    c0 = k2s >> 8
+                    for ch, pid in m1_chain:
+                        match = jnp.where(c0 == ch, pid, match)
+                elif has_m1:
                     match = _lookup(m1_planes, k2s >> 8)
                 if m2 is not None:
                     k = k2s
                     prod = k * _I32(m2.slot_mul)
-                    slot = _probe_slot(m2_disp, prod, m2.lg_b, m2.lg_r)
+                    slot = _probe_slot(m2, m2_disp, prod)
                     w = _lookup(m2_words, slot)
                     if m2_keyw is not None:         # wide (ids > 15 bits)
                         kw = _lookup(m2_keyw, slot)
@@ -309,7 +347,7 @@ def _make_kernel(tables: SieveTables, grid: int):
                 if m3 is not None:
                     k = sl(k3_ref)
                     prod = k * _I32(m3.slot_mul)
-                    slot = _probe_slot(m3_disp, prod, m3.lg_b, m3.lg_r)
+                    slot = _probe_slot(m3, m3_disp, prod)
                     w = _lookup(m3_words, slot)
                     kw = _lookup(m3_keyw, slot)     # empty = a member key
                     hit = (kw == k) & (rd > 2)
@@ -318,7 +356,7 @@ def _make_kernel(tables: SieveTables, grid: int):
                 if alive is not None:
                     k = sl(k4_ref)
                     prod = k * _I32(alive.slot_mul)
-                    slot = _probe_slot(al_disp, prod, alive.lg_b, alive.lg_r)
+                    slot = _probe_slot(alive, al_disp, prod)
                     w = _lookup(al_words, slot >> 1)
                     r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
                     # the stored residual is the product's low 16 bits
