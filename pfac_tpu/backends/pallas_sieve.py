@@ -103,9 +103,20 @@ class _Probe:
     lg_r: int
     slot_mul: int
     disp_u8: bool = False      # displacements packed 4/word instead of 2
+    nodisp: bool = False       # slot = top bits of the product, no disp
 
     @classmethod
     def from_chd(cls, t: chd.ChdTable, key_words: np.ndarray | None = None):
+        if getattr(t, "nodisp_mul", None) is not None:
+            return cls(
+                disp=None,
+                words=_expand_planes(t.slot_words),
+                keyw=_expand_planes(key_words) if key_words is not None else None,
+                lg_b=0,
+                lg_r=t.lg_slots,
+                slot_mul=t.nodisp_mul,
+                nodisp=True,
+            )
         # u8-packed displacements halve the disp planes (one fewer gather
         # per probe) whenever every displacement fits a byte and the
         # packing actually shrinks the plane count
@@ -123,7 +134,8 @@ class _Probe:
 
     @property
     def arrays(self) -> list[np.ndarray]:
-        out = [self.disp, self.words]
+        out = [] if self.disp is None else [self.disp]
+        out.append(self.words)
         if self.keyw is not None:
             out.append(self.keyw)
         return out
@@ -181,16 +193,21 @@ class SieveTables:
             ks = np.array(sorted(len2.keys()), dtype=np.uint32)
             vs = np.array([len2[int(k)] for k in ks], dtype=np.uint32)
             if wide_ids:
-                t, kw = chd.build_exact_wide2(ks, vs)
+                built = chd.build_exact_wide2_nodisp(ks, vs) if len(ks) <= 64 else None
+                t, kw = built if built is not None else chd.build_exact_wide2(ks, vs)
                 m2 = _Probe.from_chd(t, kw)
             else:
-                m2 = _Probe.from_chd(chd.build_exact2(ks, vs))
+                t = chd.build_exact2_nodisp(ks, vs) if len(ks) <= 64 else None
+                if t is None:
+                    t = chd.build_exact2(ks, vs)
+                m2 = _Probe.from_chd(t)
 
         m3 = None
         if len3:
             ks = np.array(sorted(len3.keys()), dtype=np.uint32)
             vs = np.array([len3[int(k)] for k in ks], dtype=np.uint32)
-            t, kw = chd.build_exact_wide2(ks, vs)
+            built = chd.build_exact_wide2_nodisp(ks, vs) if len(ks) <= 64 else None
+            t, kw = built if built is not None else chd.build_exact_wide2(ks, vs)
             m3 = _Probe.from_chd(t, kw)
 
         alive = None
@@ -243,6 +260,9 @@ def _probe_slot(p: "_Probe", disp_planes, prod):
     """Fused CHD slot: bucket and h1 are bit ranges of ONE product
     prod = key * slot_mul (chd.build_*2 tables)."""
     lg_b, lg_r = p.lg_b, p.lg_r
+    if p.nodisp:
+        # perfect multiplier found at build time: slot is just top bits
+        return (prod >> (32 - lg_r)) & ((1 << lg_r) - 1)
     bk = (prod >> (32 - lg_b)) & ((1 << lg_b) - 1)
     if p.disp_u8:
         wd = _lookup(disp_planes, bk >> 2)
@@ -267,15 +287,19 @@ def _make_kernel(tables: SieveTables, grid: int):
         if has_m1:
             m1_planes = refs[i]; i += 1
         if m2 is not None:
-            m2_disp, m2_words = refs[i], refs[i + 1]
-            i += 2
+            m2_disp = None
+            if not m2.nodisp:
+                m2_disp = refs[i]; i += 1
+            m2_words = refs[i]; i += 1
             m2_keyw = None
             if m2.keyw is not None:          # wide encoding (ids > 15 bits)
-                m2_keyw = refs[i]
-                i += 1
+                m2_keyw = refs[i]; i += 1
         if m3 is not None:
-            m3_disp, m3_words, m3_keyw = refs[i], refs[i + 1], refs[i + 2]
-            i += 3
+            m3_disp = None
+            if not m3.nodisp:
+                m3_disp = refs[i]; i += 1
+            m3_words, m3_keyw = refs[i], refs[i + 1]
+            i += 2
         if alive is not None:
             al_disp, al_words = refs[i], refs[i + 1]
             i += 2

@@ -352,3 +352,80 @@ def lookup_resid2(t: ChdTable, key: int) -> bool:
     w = int(np.uint32(t.slot_words[slot // 2]))
     stored = (w >> (16 * (slot % 2))) & 0xFFFF
     return stored == resid
+
+
+def _search_nodisp_mul(keys: np.ndarray, r: int, tries: int = 1 << 17) -> int | None:
+    """Find an odd multiplier making slot = (key*mul) >> (32-lg_r) perfect
+    (no displacement array at all — saves the probe's disp gather).
+    Practical only for small key sets (collision prob ~ n^2/2r per try)."""
+    lg_r = int(np.log2(r))
+    n = keys.shape[0]
+    if n > r:
+        return None
+    rng = np.random.default_rng(0xC0FFEE ^ (n * 2654435761) & 0xFFFFFFFF)
+    chunk = max(1, (1 << 22) // max(1, n))
+    done = 0
+    while done < tries:
+        muls = (rng.integers(0, 1 << 31, size=chunk, dtype=np.int64) * 2 + 1
+                ).astype(np.uint32)
+        prods = keys[None, :].astype(np.uint32) * muls[:, None]
+        slots = (prods >> np.uint32(32 - lg_r)).astype(np.int64)
+        slots.sort(axis=1)
+        ok = (np.diff(slots, axis=1) != 0).all(axis=1)
+        hit = np.nonzero(ok)[0]
+        if hit.size:
+            return int(muls[hit[0]])
+        done += chunk
+    return None
+
+
+def build_exact2_nodisp(keys: np.ndarray, values: np.ndarray) -> ChdTable | None:
+    """Displacement-free fused exact table (one gather per probe).
+    Returns None when no perfect multiplier is found quickly."""
+    keys = np.asarray(keys, dtype=np.uint32)
+    values = np.asarray(values, dtype=np.uint32)
+    assert keys.size > 0 and keys.max() < (1 << 16) and values.max() < (1 << 15)
+    for r in (_pow2(int(keys.size * 1.5)), _pow2(int(keys.size * 1.5)) * 2):
+        mul = _search_nodisp_mul(keys, r)
+        if mul is None:
+            continue
+        lg_r = int(np.log2(r))
+        slots = (keys * np.uint32(mul)) >> np.uint32(32 - lg_r)
+        words = np.full(r, np.uint32(keys[0]) << np.uint32(16), dtype=np.uint32)
+        words[slots] = (keys << np.uint32(16)) | values
+        t = ChdTable(disp=np.zeros(1, np.uint16), slot_words=words.astype(np.int32),
+                     num_buckets=1, num_slots=r, kind="exact2_nodisp")
+        t.salt = -1
+        t.nodisp_mul = mul
+        return t
+    return None
+
+
+def build_exact_wide2_nodisp(keys: np.ndarray, values: np.ndarray):
+    """Displacement-free fused wide table. Returns (table, key_words) or None."""
+    keys = np.asarray(keys, dtype=np.uint32)
+    values = np.asarray(values, dtype=np.uint32)
+    assert keys.size > 0 and values.max() < (1 << 30)
+    for r in (_pow2(int(keys.size * 1.5)), _pow2(int(keys.size * 1.5)) * 2):
+        mul = _search_nodisp_mul(keys, r)
+        if mul is None:
+            continue
+        lg_r = int(np.log2(r))
+        slots = (keys * np.uint32(mul)) >> np.uint32(32 - lg_r)
+        words = np.zeros(r, dtype=np.uint32)
+        words[slots] = values
+        key_words = np.full(r, keys[0], dtype=np.uint32)
+        key_words[slots] = keys
+        t = ChdTable(disp=np.zeros(1, np.uint16), slot_words=words.astype(np.int32),
+                     num_buckets=1, num_slots=r, kind="exact_wide2_nodisp")
+        t.salt = -1
+        t.nodisp_mul = mul
+        return t, key_words.view(np.int32)
+    return None
+
+
+def lookup_nodisp(t: ChdTable, key: int) -> int:
+    """Oracle slot for nodisp tables."""
+    lg_r = int(np.log2(t.num_slots))
+    prod = np.uint32(np.uint32(key) * np.uint32(t.nodisp_mul))
+    return int(prod >> np.uint32(32 - lg_r))
