@@ -160,11 +160,19 @@ def _build(keys: np.ndarray, r: int | None = None,
         if (r_try, b_try) in seen:
             continue
         seen.add((r_try, b_try))
+        first = None
         for salt in range(24):
             res = _assign_slots(keys, r_try, b_try, salt, fused=fused)
             if res is not None:
                 disp, slot_of = res
-                return disp, slot_of, r_try, b_try, salt
+                if int(disp.max()) < 256:
+                    # byte-sized displacements pack 4/word: one fewer
+                    # probe gather in the kernel — worth scanning salts for
+                    return disp, slot_of, r_try, b_try, salt
+                if first is None:
+                    first = (disp, slot_of, r_try, b_try, salt)
+        if first is not None:
+            return first
     raise RuntimeError("CHD build failed to converge")
 
 
