@@ -39,16 +39,40 @@ def _build_matcher(args):
 
 
 def cmd_match(args) -> int:
-    with open(args.input, "rb") as f:
-        data = f.read()
     if args.sharded:
         from ..core.automaton import Automaton
         from ..dist.sharding import ShardedMatcher
 
+        with open(args.input, "rb") as f:
+            data = f.read()
         a = Automaton.from_pattern_file(args.patterns)
         m = ShardedMatcher(a, perf_mode="hash" if args.space else "dense")
         ids, pos, n = m.match_reduce(data)
+    elif args.stream:
+        # chunked scan: bounded memory for arbitrarily large inputs
+        m = _build_matcher(args)
+        sm = m.stream(min_batch=args.stream_chunk)
+        ids_parts, pos_parts = [], []
+
+        def collect(start, out):
+            hit = np.flatnonzero(out > 0)
+            if hit.size:
+                ids_parts.append(out[hit])
+                pos_parts.append((hit + start).astype(np.int64))
+
+        with open(args.input, "rb") as f:
+            while True:
+                chunk = f.read(args.stream_chunk)
+                if not chunk:
+                    break
+                collect(*sm.feed(chunk))
+        collect(*sm.finish())
+        ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int32)
+        pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
+        n = int(ids.shape[0])
     else:
+        with open(args.input, "rb") as f:
+            data = f.read()
         m = _build_matcher(args)
         ids, pos, n = m.match_reduce(data)
     print(f"num_matched = {n}")
@@ -132,6 +156,9 @@ def main(argv=None) -> int:
             sp.add_argument("--head", type=int, default=20)
             sp.add_argument("--all", action="store_true")
             sp.add_argument("--sharded", action="store_true")
+            sp.add_argument("--stream", action="store_true",
+                            help="chunked scan via StreamMatcher (bounded memory)")
+            sp.add_argument("--stream-chunk", type=int, default=16 << 20)
         else:
             sp.add_argument("--iters", type=int, default=5)
             sp.add_argument("--trace", default=None, metavar="DIR",
