@@ -405,15 +405,16 @@ def _make_kernel(tables: SieveTables, grid: int):
 # XLA wrapper: compaction (row gathers only) + staged exact tail
 # --------------------------------------------------------------------------
 
-def _compact(bits: jax.Array, cap: int, npad: int):
+def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0):
     """bits: (nb, 128) per-row-group alive bitmaps (bit s of lane j =
-    position group*1024 + s*128 + j). Returns (pos[cap], count); padding
-    entries hold npad (dropped by the scatter)."""
+    position group*1024 + s*128 + j). Returns (pos[cap], count) for
+    survivor ranks (rank_offset, rank_offset + cap]; padding entries hold
+    npad (dropped by the scatter)."""
     nb = bits.shape[0]
     counts = jax.lax.population_count(bits).sum(axis=1)        # (nb,)
     bcum = jnp.cumsum(counts)
     count = bcum[-1]
-    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    q = jnp.arange(1, cap + 1, dtype=jnp.int32) + rank_offset
     lo = jnp.zeros(cap, jnp.int32)
     hi = jnp.full(cap, nb, jnp.int32)
     for _ in range(int(np.ceil(np.log2(max(2, nb)))) + 1):
@@ -470,8 +471,132 @@ def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
     return match
 
 
+# --------------------------------------------------------------------------
+# Heavy regime: match-dense corpora where survivors far exceed CAP_MAX
+# (the reference's "virus-dense" worst case, PFAC_hash_draft.pdf Table 5).
+# Survivor ranks are processed in rounds of HEAVY_CAP; within a round the
+# walk is depth-staged with active-set compaction so a few long matches
+# don't hold 64K lanes lockstep for hundreds of steps. ~15-20x faster than
+# the whole-corpus lockstep walker (see DESIGN_NOTES.md for why this
+# regime is gather-bound on TPU either way).
+# --------------------------------------------------------------------------
+
+HEAVY_CAP = 1 << 16
+# depth stages with survivor-fraction headroom for realistic length mixes
+# (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.004)
+_HEAVY_D1 = 16          # all survivors walk this far
+_HEAVY_B_FRAC = 4       # then <= 3/4 cap continue ...
+_HEAVY_D2 = 48          # ... to here
+_HEAVY_C_FRAC = 4       # then <= cap/4 continue to max_len in a while loop
+
+
+def _rank_select(flags: jax.Array, cap_out: int):
+    """Indices of the first cap_out set flags (1-D). Padding entries hold
+    len(flags) — out of range, so downstream scatters drop them."""
+    nf = flags.shape[0]
+    cum = jnp.cumsum(flags.astype(jnp.int32))
+    cnt = cum[-1]
+    q = jnp.arange(1, cap_out + 1, dtype=jnp.int32)
+    lo = jnp.zeros(cap_out, jnp.int32)
+    hi = jnp.full(cap_out, nf, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(2, nf)))) + 1):
+        mid = (lo + hi) >> 1
+        v = jnp.take(cum, jnp.minimum(mid, nf - 1))
+        go_right = v < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    idx = jnp.where(q <= cnt, jnp.minimum(lo, nf - 1), nf)
+    return idx, cnt
+
+
+def _build_heavy_round(automaton: Automaton, npad: int):
+    """One survivor-rank round: compact ranks (off, off+HEAVY_CAP], walk
+    them depth-staged, scatter exact results into `result`.
+
+    Returns (result', overflow) — overflow != 0 means a stage's active-set
+    capacity was exceeded and the caller must use the fallback engine."""
+    a = automaton
+    cap = HEAVY_CAP
+    d1 = min(a.max_pattern_len, _HEAVY_D1)
+    d2 = min(a.max_pattern_len, _HEAVY_D2)
+
+    def round_fn(dense_flat, data_u8, n_arr, bits, result, off_arr):
+        n = n_arr[0]
+
+        def step(d, state, match, pos_v):
+            j = pos_v + d
+            byte = jnp.take(data_u8, jnp.minimum(j, data_u8.shape[0] - 1)
+                            ).astype(jnp.int32)
+            ch = jnp.where(j < n, byte, 256)
+            state = jnp.take(dense_flat, state * 257 + ch)
+            match = jnp.where((state > 0) & (state <= a.num_final_states),
+                              state, match)
+            return state, match
+
+        pos, _ = _compact(bits, cap, npad, rank_offset=off_arr[0])
+
+        # stage A: every survivor walks to depth d1
+        state = jnp.full(cap, a.initial_state, jnp.int32)
+        match = jnp.zeros(cap, jnp.int32)
+        state, match = jax.lax.fori_loop(
+            0, d1, lambda d, sm: step(d, sm[0], sm[1], pos), (state, match))
+
+        overflow = jnp.int32(0)
+        capB = (cap * 3) // _HEAVY_B_FRAC
+        capC = cap // _HEAVY_C_FRAC
+        if a.max_pattern_len > d1:
+            # stage B: compact still-alive lanes to 3/4 cap and continue.
+            # A pruned (dead) lane's walk is complete, so its match is final.
+            idxB, cntB = _rank_select(state > 0, capB)
+            overflow = overflow | (cntB > capB).astype(jnp.int32)
+            valB = idxB < cap
+            posB = jnp.where(valB, jnp.take(pos, jnp.minimum(idxB, cap - 1)),
+                             npad)
+            stB = jnp.where(valB,
+                            jnp.take(state, jnp.minimum(idxB, cap - 1)), 0)
+            mB = jnp.zeros(capB, jnp.int32)
+            stB, mB = jax.lax.fori_loop(
+                d1, d2, lambda d, sm: step(d, sm[0], sm[1], posB), (stB, mB))
+            if a.max_pattern_len > d2:
+                # stage C: the rare very deep walks, cap/4 lanes
+                idxC, cntC = _rank_select(stB > 0, capC)
+                overflow = overflow | (cntC > capC).astype(jnp.int32)
+                valC = idxC < capB
+                posC = jnp.where(valC,
+                                 jnp.take(posB, jnp.minimum(idxC, capB - 1)),
+                                 npad)
+                stC = jnp.where(valC,
+                                jnp.take(stB, jnp.minimum(idxC, capB - 1)), 0)
+                mC = jnp.zeros(capC, jnp.int32)
+
+                def cond(sc):
+                    d, st, _ = sc
+                    return jnp.logical_and(d < a.max_pattern_len,
+                                           jnp.any(st > 0))
+
+                def body(sc):
+                    d, st, m = sc
+                    st, m = step(d, st, m, posC)
+                    return d + 1, st, m
+
+                _, stC, mC = jax.lax.while_loop(
+                    cond, body, (jnp.int32(d2), stC, mC))
+                # a deeper final overrides (longest match); merge only
+                # lanes that actually matched deeper
+                mB = mB.at[jnp.where(mC > 0, idxC, capB)].set(
+                    mC, mode="drop")
+            match = match.at[jnp.where(mB > 0, idxB, cap)].set(
+                mB, mode="drop")
+
+        result = result.at[pos].set(match, mode="drop")
+        return result, overflow
+
+    return round_fn
+
+
 def build_pipeline(automaton: Automaton, tables: SieveTables, *,
-                   npad: int, cap: int, interpret: bool = False):
+                   npad: int, cap: int, interpret: bool = False,
+                   kernel_only: bool = False):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
@@ -532,6 +657,8 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             interpret=interpret,
         )(n_smem, data2d, data2d, *table_args)
         matches = out.reshape(-1)
+        if kernel_only:
+            return matches, bits
         if not has_alive:
             return matches, jnp.int32(0)
         pos, count = _compact(bits, cap, npad)
@@ -668,13 +795,48 @@ class SieveMatcher:
                 return res_np[:n]
             if int(c) > self.CAP_MAX:
                 # pathological corpus (e.g. long runs matching long-pattern
-                # prefixes everywhere): the filter+tail design degrades, the
-                # dense lockstep walker is the better engine — mirror of the
-                # reference's worst-case regime (PFAC_hash_draft.pdf Table 5)
-                return self._fallback().match(data)
+                # prefixes everywhere): switch to the round-based heavy
+                # tail — the reference's worst-case regime
+                # (PFAC_hash_draft.pdf Table 5)
+                return self._match_heavy(data_dev, n, int(c))
             # survivor overflow: grow the static cap and re-run (rare; the
             # larger cap sticks for future calls on this matcher)
             self._cap = 1 << int(np.ceil(np.log2(int(c) + 1)))
+
+    # --------------------------------------------------------- heavy path
+    def _heavy_fns(self, npad: int):
+        key = ("heavy", npad)
+        fns = self._fns.get(key)
+        if fns is None:
+            kfn = jax.jit(build_pipeline(
+                self.automaton, self.tables, npad=npad, cap=8,
+                interpret=self.interpret, kernel_only=True))
+            rfn = jax.jit(_build_heavy_round(self.automaton, npad))
+            fns = (kfn, rfn)
+            self._fns[key] = fns
+        return fns
+
+    def _match_heavy(self, data_dev, n: int, count: int) -> np.ndarray:
+        """Match-dense corpora: survivor ranks in rounds of HEAVY_CAP with
+        depth-staged active-set compaction (see _build_heavy_round)."""
+        npad = self._npad(n)
+        kfn, rfn = self._heavy_fns(npad)
+        n_arr = jnp.full((1,), n, jnp.int32)
+        result, bits = kfn(self._table_args, self._dense_flat, data_dev, n_arr)
+        overflows = []
+        for r in range(-(-count // HEAVY_CAP)):
+            off = jnp.full((1,), r * HEAVY_CAP, jnp.int32)
+            result, ovf = rfn(self._dense_flat, data_dev, n_arr, bits,
+                              result, off)
+            overflows.append(ovf)
+            if r == 0 and int(ovf):
+                break  # stage capacities don't fit this corpus — bail early
+        if any(int(o) for o in jax.device_get(overflows)):
+            # a stage capacity overflowed (extremely deep + dense): the
+            # lockstep walker is the last-resort correct engine
+            return self._fallback().match(
+                np.asarray(jax.device_get(data_dev))[:n].tobytes())
+        return np.asarray(result)[:n].astype(np.int32)
 
     def match_reduce_device(self, data_u8):
         from .xla import _reduce_rowgather

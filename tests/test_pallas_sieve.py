@@ -194,3 +194,40 @@ class TestExactGridBoundaries:
         expected = golden.match_dense(a, bytes(data))
         assert got.tolist() == expected.tolist()
         assert m._cap == 8  # no growth happened
+
+
+class TestHeavyRegime:
+    def test_virus_dense_heavy_path(self):
+        # corpus of concatenated patterns: survivors >> CAP_MAX routes to
+        # the round-based heavy tail (forced small here via HEAVY_CAP math:
+        # we shrink CAP_MAX instead to trigger it cheaply)
+        rng = np.random.default_rng(5)
+        pats = []
+        for _ in range(40):
+            ln = int(np.clip(rng.gamma(2.2, 9.0) + 4, 4, 60))
+            pats.append(bytes(rng.integers(97, 103, size=ln).astype(np.uint8)))
+        pats = list(dict.fromkeys(pats))
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        m.CAP_MAX = 256          # force the heavy branch on a small corpus
+        chunks = [pats[int(rng.integers(0, len(pats)))] for _ in range(400)]
+        data = b"".join(chunks)[:8000]
+        expected = golden.match_dense(a, data)
+        got = m.match(data)
+        assert np.array_equal(got, expected)
+
+    def test_heavy_path_explicit(self):
+        # drive _match_heavy directly, including multiple rounds
+        import jax
+
+        import pfac_tpu.backends.pallas_sieve as S
+
+        rng = np.random.default_rng(6)
+        pats = [b"aaaa", b"aaaaaaaaaa", b"bbbbb"]
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        data = (b"aaaa" * 40000) + b"bbbbb" * 100   # ~160K survivors
+        arr = np.frombuffer(data, dtype=np.uint8)
+        expected = golden.match_dense(a, data)
+        got = m._match_heavy(jax.device_put(arr), len(data), 170000)
+        assert np.array_equal(got, expected)
