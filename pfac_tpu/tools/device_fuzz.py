@@ -15,7 +15,7 @@ import sys
 import numpy as np
 
 
-def _random_case(rng: np.random.Generator):
+def _random_case(rng: np.random.Generator, heavy: bool = False):
     alpha = int(rng.integers(2, 257))
     k = int(rng.integers(1, 200))
     pats, seen = [], set()
@@ -25,6 +25,16 @@ def _random_case(rng: np.random.Generator):
         if p not in seen:
             seen.add(p)
             pats.append(p)
+    if heavy:
+        # virus-dense: the corpus is mostly pattern content, driving the
+        # survivor count past CAP_MAX into the round-based heavy tail
+        n = int(rng.integers(50_000, 250_000))
+        chunks, sz = [], 0
+        while sz < n:
+            p = pats[int(rng.integers(0, len(pats)))]
+            chunks.append(p)
+            sz += len(p)
+        return pats, b"".join(chunks)[:n]
     n = int(rng.integers(1, 400_000))
     data = bytearray(rng.integers(0, alpha, size=n).astype(np.uint8).tobytes())
     # plant pattern occurrences, including at the very end
@@ -45,6 +55,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sharded", action="store_true",
                     help="also fuzz the sharded path on the local mesh")
+    ap.add_argument("--heavy", action="store_true",
+                    help="virus-dense corpora (exercises the heavy tail)")
     args = ap.parse_args(argv)
 
     import jax
@@ -56,9 +68,12 @@ def main(argv=None) -> int:
     print(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(args.seed)
     for case in range(args.cases):
-        pats, data = _random_case(rng)
+        pats, data = _random_case(rng, heavy=args.heavy)
         a = Automaton.from_patterns(pats)
         m = Matcher(automaton=a)
+        if args.heavy:
+            eng = m._engine()
+            eng.CAP_MAX = 1 << 12    # force the heavy branch at small scale
         got = m.match(data)
         exp = golden.match_dense(a, data)
         if not np.array_equal(got, exp):
