@@ -37,7 +37,6 @@ reference: PFAC/src/PFAC_CPU.cpp:76-96).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ the ppermute/psum over ICI/DCN automatically. See dist/multihost.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,6 @@ from ..backends.xla import (
     hash_step_fn,
     pair_tables,
     walk_tiles,
-    _reduce_padded,
     _to_u8,
 )
 
