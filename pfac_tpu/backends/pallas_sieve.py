@@ -595,7 +595,7 @@ def _build_heavy_round(automaton: Automaton, npad: int):
 
 def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                    npad: int, cap: int, interpret: bool = False,
-                   kernel_only: bool = False):
+                   kernel_only: bool = False, aligned: bool = False):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
@@ -604,7 +604,9 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
     Not jitted — callable directly, under jax.jit, or inside shard_map
     (the distributed matcher runs it per shard with a ppermute halo).
     `n_arr` is a (1,) int32 giving the true byte count; positions at or
-    past it report 0 and never match.
+    past it report 0 and never match. With aligned=True the caller
+    guarantees len(data_u8) == npad, skipping the padded-buffer copy
+    (the lookahead halo comes from a separate zero block instead).
     """
     grid = npad // (TILE_ROWS * LANES)
     kernel = _make_kernel(tables, grid)
@@ -617,14 +619,25 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                      memory_space=pltpu.VMEM)
         for shape in table_shapes
     ]
+    hb = TILE_ROWS // HALO_ROWS
+    if aligned:
+        # halo = next block's head, clamped for the final grid step: its
+        # lookahead bytes are garbage there, but they only feed c1..c3 of
+        # positions within 3 bytes of npad == n, which the rd masks kill
+        halo_spec = pl.BlockSpec(
+            (HALO_ROWS, LANES),
+            lambda i: (jnp.minimum((i + 1) * hb, grid * hb - 1), 0),
+            memory_space=pltpu.VMEM)
+    else:
+        halo_spec = pl.BlockSpec(
+            (HALO_ROWS, LANES),
+            lambda i: ((i + 1) * hb, 0),
+            memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((HALO_ROWS, LANES),
-                     lambda i: (i * (TILE_ROWS // HALO_ROWS)
-                                + TILE_ROWS // HALO_ROWS, 0),
-                     memory_space=pltpu.VMEM),
+        halo_spec,
     ] + tab_specs
     out_specs = [
         pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
@@ -639,10 +652,13 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
     rows_u8 = grid * TILE_ROWS + HALO_ROWS
 
     def run(table_args, dense_flat, data_u8, n_arr):
-        padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
-        padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
-        data2d = padded.reshape(rows_u8, LANES)
         n_smem = n_arr.reshape(1, 1)
+        if aligned:
+            data2d = data_u8.reshape(grid * TILE_ROWS, LANES)
+        else:
+            padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
+            padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
+            data2d = padded.reshape(rows_u8, LANES)
         out, bits = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -710,13 +726,13 @@ class SieveMatcher:
     # ------------------------------------------------------------ pipeline
     _npad = staticmethod(npad_for)
 
-    def _pipeline_fn(self, npad: int, cap: int):
-        key = (npad, cap)
+    def _pipeline_fn(self, npad: int, cap: int, aligned: bool = False):
+        key = (npad, cap, aligned)
         fn = self._fns.get(key)
         if fn is None:
             fn = jax.jit(build_pipeline(
                 self.automaton, self.tables, npad=npad, cap=cap,
-                interpret=self.interpret,
+                interpret=self.interpret, aligned=aligned,
             ))
             self._fns[key] = fn
         return fn
@@ -736,7 +752,7 @@ class SieveMatcher:
             )
         npad = self._npad(n)
         cap = min(self._cap, npad, self.CAP_MAX)
-        fn = self._pipeline_fn(npad, cap)
+        fn = self._pipeline_fn(npad, cap, aligned=(n == npad))
         n_arr = jnp.full((1,), n, jnp.int32)
         result, count = fn(self._table_args, self._dense_flat, data_u8, n_arr)
         return result, count, cap
