@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 CORPUS_MB = 128
-N_ITERS = 3
+N_ITERS = 4
 K_BATCH = 6
 BASELINE_GBPS = 208.53 / 8.0  # 26.07 GB/s
 
