@@ -1,23 +1,24 @@
-"""CHD (compress-hash-displace) hash tables for the Pallas ladder kernel.
+"""CHD (compress-hash-displace) perfect-hash tables for the Pallas kernels.
 
-The TPU v5e vector unit has no general per-lane gather: the only fast
-data-dependent addressing is an 8-row in-register sublane gather
-(~10 cycles per 1024 lanes, measured in experiments/dyngather_micro.py).
-Every kernel-side table is therefore scanned as a sequence of 8x128
-"planes" whose cost is linear in table size — so tables must be as small
-and as packed as possible. CHD gives minimal-size exact/near-exact tables:
+Kernel-side tables are probed with the VPU's dynamic lane gather over
+8x128 "planes"; probe cost is dominated by the NUMBER OF GATHERS, so
+tables must be as small and as packed as possible. Three generations of
+builders live here:
 
-* slot(v) = (h1(v) XOR disp[h0(v) mod B]) mod R — two multiplicative
-  hashes plus a displacement array searched at build time so all keys
-  land in distinct slots.
-* "exact" tables store (key16 | value15 | valid1) in one int32 word —
-  used for final-match IDs where false positives are unacceptable.
-* "residual" tables store only an 8-bit secondary hash per slot (4 per
-  word) — used for the continue-walking filter where a ~2^-8 false
-  positive just sends a position to the exact XLA tail.
+* classic split-hash CHD (`build_exact`/`build_resid`) — used by the
+  gen-1 ladder kernel: slot = (h1(k) XOR disp[h0(k)]) mod R with
+  independent multiplicative hashes.
+* fused-hash CHD (`build_exact2`/`build_exact_wide2`/`build_resid2`) —
+  the sieve kernel's tables: bucket, slot AND the 16-bit residual all
+  derive from ONE key*mul product (one multiply per probe), and empty
+  exact slots hold a member key so key equality alone decides hits.
+* displacement-FREE perfect hashes (`build_*_nodisp`) — for small key
+  sets a vectorized multiplier search finds slot = top bits of key*mul
+  collision-free, removing the displacement gather entirely.
 
 All hash arithmetic is in wrapping 32-bit integers with shift-and-mask
-so the kernel can reproduce it with signed-int32 VPU ops.
+so the kernel can reproduce it with signed-int32 VPU ops. The Python
+lookup_* functions are the bit-exact oracles for the kernel probes.
 """
 from __future__ import annotations
 

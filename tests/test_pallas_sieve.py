@@ -231,3 +231,51 @@ class TestHeavyRegime:
         expected = golden.match_dense(a, data)
         got = m._match_heavy(jax.device_put(arr), len(data), 170000)
         assert np.array_equal(got, expected)
+
+
+class TestFusedChd:
+    def test_exact2_roundtrip(self):
+        rng = np.random.default_rng(3)
+        keys = rng.choice(1 << 16, size=300, replace=False).astype(np.uint32)
+        vals = rng.integers(1, 1 << 15, size=300).astype(np.uint32)
+        t = chd.build_exact2(keys, vals)
+        for i in range(300):
+            assert chd.lookup_exact2(t, int(keys[i])) == int(vals[i])
+        miss = [k for k in range(500) if k not in set(keys.tolist())]
+        assert all(chd.lookup_exact2(t, k) == 0 for k in miss)
+
+    def test_exact_wide2_roundtrip(self):
+        rng = np.random.default_rng(4)
+        keys = rng.choice(1 << 24, size=150, replace=False).astype(np.uint32)
+        vals = rng.integers(1, 1 << 20, size=150).astype(np.uint32)
+        t, kw = chd.build_exact_wide2(keys, vals)
+        for i in range(150):
+            assert chd.lookup_exact_wide2(t, kw, int(keys[i])) == int(vals[i])
+        miss = [k for k in range(400) if k not in set(keys.tolist())]
+        assert all(chd.lookup_exact_wide2(t, kw, k) == 0 for k in miss)
+
+    def test_resid2_no_false_negatives(self):
+        rng = np.random.default_rng(5)
+        keys = rng.choice(1 << 28, size=1500, replace=False).astype(np.uint32)
+        t = chd.build_resid2(keys)
+        assert all(chd.lookup_resid2(t, int(k)) for k in keys)
+        miss = [k for k in range(40000) if k not in set(keys.tolist())]
+        fp = sum(chd.lookup_resid2(t, k) for k in miss) / len(miss)
+        assert fp < 0.01
+
+    def test_nodisp_builders(self):
+        rng = np.random.default_rng(6)
+        keys = rng.choice(1 << 16, size=40, replace=False).astype(np.uint32)
+        vals = rng.integers(1, 1 << 15, size=40).astype(np.uint32)
+        t = chd.build_exact2_nodisp(keys, vals)
+        assert t is not None
+        lg_r = int(np.log2(t.num_slots))
+        slots = [chd.lookup_nodisp(t, int(k)) for k in keys]
+        assert len(set(slots)) == len(keys)          # perfect
+        for i, k in enumerate(keys):
+            w = int(np.uint32(t.slot_words[slots[i]]))
+            assert (w >> 16) == int(k) and (w & 0x7FFF) == int(vals[i])
+
+        tw = chd.build_exact_wide2_nodisp(keys.astype(np.uint32),
+                                          vals.astype(np.uint32))
+        assert tw is not None
