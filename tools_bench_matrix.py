@@ -1,0 +1,136 @@
+"""Regime benchmark matrix: one JSON line per (engine, corpus regime).
+
+Complements bench.py's single headline metric with the reference's other
+benchmark regimes (BASELINE.md): DEFCON-like mixed traffic, the
+virus-dense worst case, and the reduce path. Amortized timing throughout
+(see DESIGN_NOTES.md "Measurement methodology").
+
+Run:  python tools_bench_matrix.py          (~5 min on the real chip)
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import snort_like_patterns
+from pfac_tpu import Automaton
+from pfac_tpu.backends import golden
+
+
+def amortized(dispatch, k=6, reps=3):
+    out = dispatch()
+    _ = np.asarray(out[:1])
+
+    def batch(j):
+        t0 = time.perf_counter()
+        for _ in range(j):
+            o = dispatch()
+        _ = np.asarray(o[:1])
+        return time.perf_counter() - t0
+
+    t1 = min(batch(1) for _ in range(reps + 1))
+    tk = min(batch(k) for _ in range(reps))
+    return (tk - t1) / (k - 1)
+
+
+def main():
+    import pfac_tpu.backends.pallas_sieve as S
+
+    rng = np.random.default_rng(42)
+    pats = snort_like_patterns()
+    a = Automaton.from_patterns(pats)
+    m = S.SieveMatcher(a)
+    dev = str(jax.devices()[0])
+
+    def emit(regime, n, t, extra=None):
+        rec = {"regime": regime, "bytes": n, "ms": round(t * 1e3, 2),
+               "GBps": round(n / t / 1e9, 3), "device": dev}
+        rec.update(extra or {})
+        print(json.dumps(rec))
+
+    # --- dense random (the headline regime)
+    n = 128 << 20
+    data = rng.integers(0, 256, size=n, dtype=np.uint8)
+    dd = jax.device_put(data)
+    n_arr = jnp.full((1,), n, jnp.int32)
+    fn = m._pipeline_fn(S.npad_for(n), 4096, aligned=True)
+    t = amortized(lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0])
+    emit("dense_random", n, t)
+
+    # --- DEFCON-like: text traffic with ~1.5% planted pattern content.
+    # Survivor count (~90K/128MB) exceeds CAP_MAX, so the real matcher
+    # takes the heavy-round path — measure THAT, not a truncated tail.
+    text = rng.integers(32, 127, size=n, dtype=np.uint8)
+    buf = bytearray(text.tobytes())
+    budget = int(n * 0.015)
+    placed = 0
+    while placed < budget:
+        p = pats[int(rng.integers(0, len(pats)))]
+        off = int(rng.integers(0, n - len(p)))
+        buf[off:off + len(p)] = p
+        placed += len(p)
+    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+    # parity spot-check on a slice
+    s = bytes(arr[: 1 << 20].tobytes())
+    assert np.array_equal(m.match(s), golden.match_dense(a, s))
+    dd2 = jax.device_put(arr)
+    npad2 = S.npad_for(n)
+    kfn2, rfn2 = m._heavy_fns(npad2)
+    _, bits2 = kfn2(m._table_args, m._dense_flat, dd2, n_arr)
+    cnt2 = int(jnp.sum(jax.lax.population_count(bits2)))
+    rounds2 = -(-cnt2 // S.HEAVY_CAP)
+
+    def defcon_once():
+        r, b = kfn2(m._table_args, m._dense_flat, dd2, n_arr)
+        for i in range(rounds2):
+            off = jnp.full((1,), i * S.HEAVY_CAP, jnp.int32)
+            r, _ = rfn2(m._dense_flat, dd2, n_arr, b, r, off)
+        return r
+
+    t = amortized(defcon_once, k=4, reps=2)
+    nm = int((golden.match_dense(a, s) > 0).sum())
+    emit("defcon_like_1.5pct", n, t,
+         {"survivors": cnt2, "rounds": rounds2, "slice_matches_per_MB": nm,
+          "reference_GBps": 15.4})
+
+    # --- virus-dense worst case (heavy-path compute: kernel + rounds)
+    nh = 8 << 20
+    chunks, sz = [], 0
+    while sz < nh:
+        p = pats[int(rng.integers(0, len(pats)))]
+        chunks.append(p)
+        sz += len(p)
+    harr = np.frombuffer(b"".join(chunks)[:nh], dtype=np.uint8)
+    hd = jax.device_put(harr)
+    hn = jnp.full((1,), nh, jnp.int32)
+    npadh = S.npad_for(nh)
+    kfn, rfn = m._heavy_fns(npadh)
+    res0, bits = kfn(m._table_args, m._dense_flat, hd, hn)
+    count = int(jnp.sum(jax.lax.population_count(bits)))
+    rounds = -(-count // S.HEAVY_CAP)
+
+    def heavy_once():
+        r, b = kfn(m._table_args, m._dense_flat, hd, hn)
+        for i in range(rounds):
+            off = jnp.full((1,), i * S.HEAVY_CAP, jnp.int32)
+            r, _ = rfn(m._dense_flat, hd, hn, b, r, off)
+        return r
+
+    t = amortized(heavy_once, k=3, reps=2)
+    emit("virus_dense_worst", nh, t,
+         {"survivors": count, "rounds": rounds,
+          "reference_worst_GBps": 1.12})
+
+    # --- compacted output (reduce) on ~3%-match corpus
+    from pfac_tpu.backends.xla import _reduce_rowgather
+    mvec = np.where(rng.integers(0, 100, size=64 << 20) < 3, 7, 0).astype(np.int32)
+    md = jax.device_put(mvec)
+    t = amortized(lambda: _reduce_rowgather(md)[0], k=4, reps=2)
+    emit("reduce_device_3pct", 64 << 20, t,
+         {"matches": int((mvec > 0).sum())})
+
+
+if __name__ == "__main__":
+    main()
