@@ -482,11 +482,13 @@ def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
 
 HEAVY_CAP = 1 << 16
 # depth stages with survivor-fraction headroom for realistic length mixes
-# (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.004)
+# (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.005)
 _HEAVY_D1 = 16          # all survivors walk this far
 _HEAVY_B_FRAC = 4       # then <= 3/4 cap continue ...
 _HEAVY_D2 = 48          # ... to here
-_HEAVY_C_FRAC = 4       # then <= cap/4 continue to max_len in a while loop
+_HEAVY_C_FRAC = 4       # then <= cap/4 continue ...
+_HEAVY_D3 = 112         # ... to here
+_HEAVY_E_FRAC = 16      # then <= cap/16 continue to max_len in a while loop
 
 
 def _rank_select(flags: jax.Array, cap_out: int):
@@ -532,13 +534,26 @@ def _build_heavy_round(automaton: Automaton, npad: int):
                               state, match)
             return state, match
 
+        def walk4(d0, d_end, state, match, pos_v):
+            """fori with a 4-step body: per-iteration loop overhead on this
+            chip (~0.2 ms) dwarfs the take cost at narrow widths."""
+            span = d_end - d0
+            def body4(i, sm):
+                st, m = sm
+                for u in range(4):
+                    st, m = step(d0 + i * 4 + u, st, m, pos_v)
+                return st, m
+            state, match = jax.lax.fori_loop(0, span // 4, body4, (state, match))
+            for d in range(d0 + (span // 4) * 4, d_end):
+                state, match = step(d, state, match, pos_v)
+            return state, match
+
         pos, _ = _compact(bits, cap, npad, rank_offset=off_arr[0])
 
         # stage A: every survivor walks to depth d1
         state = jnp.full(cap, a.initial_state, jnp.int32)
         match = jnp.zeros(cap, jnp.int32)
-        state, match = jax.lax.fori_loop(
-            0, d1, lambda d, sm: step(d, sm[0], sm[1], pos), (state, match))
+        state, match = walk4(0, d1, state, match, pos)
 
         overflow = jnp.int32(0)
         capB = (cap * 3) // _HEAVY_B_FRAC
@@ -554,10 +569,9 @@ def _build_heavy_round(automaton: Automaton, npad: int):
             stB = jnp.where(valB,
                             jnp.take(state, jnp.minimum(idxB, cap - 1)), 0)
             mB = jnp.zeros(capB, jnp.int32)
-            stB, mB = jax.lax.fori_loop(
-                d1, d2, lambda d, sm: step(d, sm[0], sm[1], posB), (stB, mB))
+            stB, mB = walk4(d1, d2, stB, mB, posB)
             if a.max_pattern_len > d2:
-                # stage C: the rare very deep walks, cap/4 lanes
+                # stage C: cap/4 lanes continue to d3
                 idxC, cntC = _rank_select(stB > 0, capC)
                 overflow = overflow | (cntC > capC).astype(jnp.int32)
                 valC = idxC < capB
@@ -567,19 +581,37 @@ def _build_heavy_round(automaton: Automaton, npad: int):
                 stC = jnp.where(valC,
                                 jnp.take(stB, jnp.minimum(idxC, capB - 1)), 0)
                 mC = jnp.zeros(capC, jnp.int32)
+                d3 = min(a.max_pattern_len, _HEAVY_D3)
+                stC, mC = walk4(d2, d3, stC, mC, posC)
+                if a.max_pattern_len > d3:
+                    # stage E: the very deepest walks, cap/16 lanes,
+                    # while-loop with early exit to max_len
+                    capE = cap // _HEAVY_E_FRAC
+                    idxE, cntE = _rank_select(stC > 0, capE)
+                    overflow = overflow | (cntE > capE).astype(jnp.int32)
+                    valE = idxE < capC
+                    posE = jnp.where(valE,
+                                     jnp.take(posC, jnp.minimum(idxE, capC - 1)),
+                                     npad)
+                    stE = jnp.where(valE,
+                                    jnp.take(stC, jnp.minimum(idxE, capC - 1)), 0)
+                    mE = jnp.zeros(capE, jnp.int32)
 
-                def cond(sc):
-                    d, st, _ = sc
-                    return jnp.logical_and(d < a.max_pattern_len,
-                                           jnp.any(st > 0))
+                    def cond(sc):
+                        d, st, _ = sc
+                        return jnp.logical_and(d < a.max_pattern_len,
+                                               jnp.any(st > 0))
 
-                def body(sc):
-                    d, st, m = sc
-                    st, m = step(d, st, m, posC)
-                    return d + 1, st, m
+                    def body(sc):
+                        d, st, m = sc
+                        for u in range(4):   # 4 steps/iteration (overhead)
+                            st, m = step(d + u, st, m, posE)
+                        return d + 4, st, m
 
-                _, stC, mC = jax.lax.while_loop(
-                    cond, body, (jnp.int32(d2), stC, mC))
+                    _, stE, mE = jax.lax.while_loop(
+                        cond, body, (jnp.int32(d3), stE, mE))
+                    mC = mC.at[jnp.where(mE > 0, idxE, capC)].set(
+                        mE, mode="drop")
                 # a deeper final overrides (longest match); merge only
                 # lanes that actually matched deeper
                 mB = mB.at[jnp.where(mC > 0, idxC, capB)].set(
