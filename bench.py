@@ -21,8 +21,8 @@ import time
 import numpy as np
 
 CORPUS_MB = 128
-N_ITERS = 4
-K_BATCH = 6
+N_ITERS = 5
+K_BATCH = 8
 BASELINE_GBPS = 208.53 / 8.0  # 26.07 GB/s
 
 
