@@ -471,7 +471,7 @@ def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
 
 
 # --------------------------------------------------------------------------
-# Heavy regime: match-dense corpora where survivors far exceed CAP_MAX
+# Heavy regime: match-dense corpora where survivors exceed CAP_MID
 # (the reference's "virus-dense" worst case, PFAC_hash_draft.pdf Table 5).
 # Survivor ranks are processed in rounds of HEAVY_CAP; within a round the
 # walk is depth-staged with active-set compaction so a few long matches
@@ -480,7 +480,8 @@ def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
 # regime is gather-bound on TPU either way).
 # --------------------------------------------------------------------------
 
-HEAVY_CAP = 1 << 16
+HEAVY_CAP = 1 << 16     # survivor ranks per heavy round
+CAP_MID = 1 << 16       # mid fused-tail capacity (also the heavy threshold)
 # depth stages with survivor-fraction headroom for realistic length mixes
 # (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.005)
 _HEAVY_D1 = 16          # all survivors walk this far
@@ -521,7 +522,7 @@ def _build_heavy_round(automaton: Automaton, npad: int):
     d1 = min(a.max_pattern_len, _HEAVY_D1)
     d2 = min(a.max_pattern_len, _HEAVY_D2)
 
-    def round_fn(dense_flat, data_u8, n_arr, bits, result, off_arr):
+    def round_fn(dense_flat, data_u8, n_arr, bits, result, off):
         n = n_arr[0]
 
         def step(d, state, match, pos_v):
@@ -548,7 +549,7 @@ def _build_heavy_round(automaton: Automaton, npad: int):
                 state, match = step(d, state, match, pos_v)
             return state, match
 
-        pos, _ = _compact(bits, cap, npad, rank_offset=off_arr[0])
+        pos, _ = _compact(bits, cap, npad, rank_offset=off)
 
         # stage A: every survivor walks to depth d1
         state = jnp.full(cap, a.initial_state, jnp.int32)
@@ -623,6 +624,30 @@ def _build_heavy_round(automaton: Automaton, npad: int):
         return result, overflow
 
     return round_fn
+
+
+def _build_heavy_all(automaton: Automaton, npad: int):
+    """All survivor-rank rounds inside one program: a while_loop over
+    offsets of HEAVY_CAP until `count` ranks are processed. Usable under
+    jit and inside shard_map (no host round loop)."""
+    round_fn = _build_heavy_round(automaton, npad)
+
+    def run(dense_flat, data_u8, n_arr, bits, matches, count):
+        def cond(s):
+            i, _, _ = s
+            return i * HEAVY_CAP < count
+
+        def body(s):
+            i, result, ovf = s
+            result, o = round_fn(dense_flat, data_u8, n_arr, bits, result,
+                                 i * HEAVY_CAP)
+            return i + 1, result, ovf | o
+
+        _, result, ovf = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), matches, jnp.int32(0)))
+        return result, ovf
+
+    return run
 
 
 def build_pipeline(automaton: Automaton, tables: SieveTables, *,
@@ -707,15 +732,33 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
         if kernel_only:
             return matches, bits
         if not has_alive:
-            return matches, jnp.int32(0)
-        pos, count = _compact(bits, cap, npad)
-        tail = _tail_walk(
-            dense_flat, data_u8, pos, n_arr[0],
-            max_len=a.max_pattern_len, num_final=a.num_final_states,
-            initial_state=a.initial_state,
-        )
-        result = matches.at[pos].set(tail, mode="drop")
-        return result, count
+            return matches, jnp.int32(0), jnp.int32(0)
+        count = jnp.sum(jax.lax.population_count(bits)).astype(jnp.int32)
+
+        def fused_tail(c):
+            """Survivors fit capacity c: one compaction + staged walk."""
+            def branch(m):
+                pos, _ = _compact(bits, c, npad)
+                tail = _tail_walk(
+                    dense_flat, data_u8, pos, n_arr[0],
+                    max_len=a.max_pattern_len, num_final=a.num_final_states,
+                    initial_state=a.initial_state,
+                )
+                return m.at[pos].set(tail, mode="drop"), jnp.int32(0)
+            return branch
+
+        heavy = _build_heavy_all(a, npad)
+
+        def heavy_branch(m):
+            return heavy(dense_flat, data_u8, n_arr, bits, m, count)
+
+        # 0: light (typical corpora), 1: mid, 2: heavy rounds — one program
+        # handles every survivor density; no host-side capacity retries
+        idx = ((count > cap).astype(jnp.int32)
+               + (count > CAP_MID).astype(jnp.int32))
+        result, overflow = jax.lax.switch(
+            idx, [fused_tail(cap), fused_tail(CAP_MID), heavy_branch], matches)
+        return result, count, overflow
 
     return run
 
@@ -769,12 +812,12 @@ class SieveMatcher:
             self._fns[key] = fn
         return fn
 
-    #: survivor-capacity ceiling: the compaction's rank expansion allocates
-    #: cap x 1024 ints, so the cap cannot grow unboundedly — corpora that
-    #: need more survivors are pathological and route to the XLA fallback
-    CAP_MAX = 1 << 16
-
     def _dispatch(self, data_u8: jax.Array):
+        """-> (result, count, overflow). The pipeline handles EVERY
+        survivor density in one program (light/mid/heavy switch); overflow
+        is nonzero only when a heavy-stage capacity was exceeded (very
+        deep AND very dense rulesets), in which case the result is
+        incomplete and the caller must use the fallback walker."""
         n = int(data_u8.shape[0])
         if n > (1 << 31) - (1 << 17):
             raise PfacError(
@@ -783,25 +826,24 @@ class SieveMatcher:
                 "(dist.ShardedMatcher) or feed <2 GiB chunks",
             )
         npad = self._npad(n)
-        cap = min(self._cap, npad, self.CAP_MAX)
+        cap = min(self._cap, npad)
         fn = self._pipeline_fn(npad, cap, aligned=(n == npad))
         n_arr = jnp.full((1,), n, jnp.int32)
-        result, count = fn(self._table_args, self._dense_flat, data_u8, n_arr)
-        return result, count, cap
+        return fn(self._table_args, self._dense_flat, data_u8, n_arr)
 
     def match_device(self, data_u8: jax.Array) -> jax.Array:
         """uint8[N] on device -> int32[npad] match ids (padded tail = 0).
 
-        Overflow checking is DEFERRED: a device→host readback costs a
-        ~30 ms round trip on tunneled runtimes, so this path does not sync
-        per call. Pending survivor counts are validated lazily — every
-        `_FLUSH_EVERY` dispatches, or whenever `flush_checks()` /
-        a host-materializing API (`match`, `match_reduce`) runs. On
-        overflow the survivor capacity is grown and PfacError is raised;
-        results returned since the previous flush must be recomputed.
+        Stage-overflow checking is DEFERRED: a device→host readback costs
+        ~30 ms on tunneled runtimes, so this path does not sync per call.
+        The (rare) heavy-stage overflow flags are validated lazily — every
+        `_FLUSH_EVERY` dispatches, or whenever `flush_checks()` / a
+        host-materializing API (`match`, `match_reduce`) runs. On overflow
+        PfacError is raised; results returned since the previous flush
+        must be recomputed via `match()`.
         """
-        result, count, cap = self._dispatch(data_u8)
-        self._pending.append((count, cap))
+        result, _, overflow = self._dispatch(data_u8)
+        self._pending.append(overflow)
         if len(self._pending) >= self._FLUSH_EVERY:
             self.flush_checks()
         return result
@@ -809,22 +851,16 @@ class SieveMatcher:
     _FLUSH_EVERY = 64
 
     def flush_checks(self) -> None:
-        """Validate pending survivor counts (one device→host round trip)."""
+        """Validate pending heavy-stage overflow flags (one round trip)."""
         if not self._pending:
             return
         pending, self._pending = self._pending, []
-        counts = jax.device_get([c for c, _ in pending])
-        bad = max((int(c) for c, (_, cap) in zip(counts, pending) if int(c) > cap),
-                  default=0)
-        if bad:
-            self._cap = min(1 << int(np.ceil(np.log2(bad + 1))), self.CAP_MAX)
-            hint = ("capacity grown — rerun the affected match_device calls"
-                    if bad <= self.CAP_MAX else
-                    "pathological corpus — use match()/Matcher, which falls "
-                    "back to the dense lockstep walker")
+        if any(int(o) for o in jax.device_get(pending)):
             raise PfacError(
                 PfacStatus.INTERNAL_ERROR,
-                f"survivor capacity exceeded ({bad}); {hint}",
+                "heavy-stage capacity exceeded (very deep + dense corpus); "
+                "rerun the affected inputs via match(), which falls back "
+                "to the lockstep walker",
             )
 
     # ------------------------------------------------------------ host API
@@ -834,56 +870,14 @@ class SieveMatcher:
         if n == 0:
             return np.zeros(0, dtype=np.int32)
         data_dev = jax.device_put(arr, self.device)
-        while True:
-            result, count, cap = self._dispatch(data_dev)
-            # one batched transfer: result + count in a single round trip
-            res_np, c = jax.device_get((result, count))
-            if int(c) <= cap:
-                return res_np[:n]
-            if int(c) > self.CAP_MAX:
-                # pathological corpus (e.g. long runs matching long-pattern
-                # prefixes everywhere): switch to the round-based heavy
-                # tail — the reference's worst-case regime
-                # (PFAC_hash_draft.pdf Table 5)
-                return self._match_heavy(data_dev, n, int(c))
-            # survivor overflow: grow the static cap and re-run (rare; the
-            # larger cap sticks for future calls on this matcher)
-            self._cap = 1 << int(np.ceil(np.log2(int(c) + 1)))
-
-    # --------------------------------------------------------- heavy path
-    def _heavy_fns(self, npad: int):
-        key = ("heavy", npad)
-        fns = self._fns.get(key)
-        if fns is None:
-            kfn = jax.jit(build_pipeline(
-                self.automaton, self.tables, npad=npad, cap=8,
-                interpret=self.interpret, kernel_only=True))
-            rfn = jax.jit(_build_heavy_round(self.automaton, npad))
-            fns = (kfn, rfn)
-            self._fns[key] = fns
-        return fns
-
-    def _match_heavy(self, data_dev, n: int, count: int) -> np.ndarray:
-        """Match-dense corpora: survivor ranks in rounds of HEAVY_CAP with
-        depth-staged active-set compaction (see _build_heavy_round)."""
-        npad = self._npad(n)
-        kfn, rfn = self._heavy_fns(npad)
-        n_arr = jnp.full((1,), n, jnp.int32)
-        result, bits = kfn(self._table_args, self._dense_flat, data_dev, n_arr)
-        overflows = []
-        for r in range(-(-count // HEAVY_CAP)):
-            off = jnp.full((1,), r * HEAVY_CAP, jnp.int32)
-            result, ovf = rfn(self._dense_flat, data_dev, n_arr, bits,
-                              result, off)
-            overflows.append(ovf)
-            if r == 0 and int(ovf):
-                break  # stage capacities don't fit this corpus — bail early
-        if any(int(o) for o in jax.device_get(overflows)):
-            # a stage capacity overflowed (extremely deep + dense): the
-            # lockstep walker is the last-resort correct engine
-            return self._fallback().match(
-                np.asarray(jax.device_get(data_dev))[:n].tobytes())
-        return np.asarray(result)[:n].astype(np.int32)
+        result, _, overflow = self._dispatch(data_dev)
+        # one batched transfer: result + flag in a single round trip
+        res_np, ovf = jax.device_get((result, overflow))
+        if int(ovf):
+            # a heavy-stage capacity overflowed (extremely deep + dense):
+            # the lockstep walker is the last-resort correct engine
+            return self._fallback().match(data)
+        return res_np[:n]
 
     def match_reduce_device(self, data_u8):
         from .xla import _reduce_rowgather

@@ -98,7 +98,6 @@ class ShardedMatcher:
             )
             self._dense_flat = jax.device_put(
                 jnp.asarray(dense_device_table(a).reshape(-1)), rep)
-            self._cap = 1 << 13
             return
 
         ps, pm = pair_tables(a)
@@ -133,18 +132,19 @@ class ShardedMatcher:
     def _build_fn_sieve(self, shard_len: int, n: int):
         """Per-shard Pallas sieve with the same ppermute halo layout.
 
-        Returns (matches P(AXIS), match_count P(), survivor_counts P(AXIS));
-        survivor counts are validated host-side (capacity retry).
+        Returns (matches P(AXIS), match_count P(), overflow P(AXIS)); the
+        per-shard pipeline handles every survivor density internally
+        (light/mid/heavy switch); overflow flags the rare heavy-stage
+        capacity exhaustion, which routes to the XLA fallback.
         """
         from ..backends import pallas_sieve as sieve
 
         a = self.automaton
         halo = max(a.max_pattern_len, 2)
         nd = self.num_devices
-        cap = self._cap
         pipeline = sieve.build_pipeline(
             a, self._sieve_tables,
-            npad=sieve.npad_for(shard_len + halo), cap=cap,
+            npad=sieve.npad_for(shard_len + halo), cap=1 << 12,
             interpret=self.interpret,
         )
 
@@ -157,13 +157,13 @@ class ShardedMatcher:
             halo_bytes = jax.lax.ppermute(head, AXIS, perm) if perm else head
             ext = jnp.concatenate([data_local, halo_bytes])
             n_valid = jnp.clip(n - idx * shard_len, 0, shard_len + halo)
-            result, scount = pipeline(
+            result, _, ovf = pipeline(
                 tables, dense_flat, ext,
                 n_valid.reshape(1).astype(jnp.int32),
             )
             owned = jax.lax.dynamic_slice(result, (0,), (shard_len,))
             count = jax.lax.psum(jnp.sum(owned > 0), AXIS)
-            return owned, count, scount.reshape(1)
+            return owned, count, ovf.reshape(1)
 
         fn = jax.shard_map(
             local_match,
@@ -216,7 +216,7 @@ class ShardedMatcher:
 
     def _fn_for(self, n: int):
         shard_len = self._shard_len(n)
-        key = (shard_len, n, getattr(self, "_cap", 0))
+        key = (shard_len, n)
         fn = self._sharded_fns.get(key)
         if fn is None:
             if self.engine == "sieve":
@@ -227,27 +227,18 @@ class ShardedMatcher:
         return fn, shard_len
 
     def _run(self, data_dev: jax.Array, n: int):
-        """-> (matches sharded, match_count replicated) with sieve survivor
-        capacity retry handled host-side."""
-        from ..backends.pallas_sieve import SieveMatcher
-
-        while True:
-            fn, _ = self._fn_for(n)
-            if self.engine == "sieve":
-                matches, count, scounts = fn(
-                    self._tables, self._dense_flat, data_dev)
-                worst = int(np.max(jax.device_get(scounts)))
-                if worst <= self._cap:
-                    return matches, count
-                if worst > SieveMatcher.CAP_MAX:
-                    # pathological corpus: per-shard survivor compaction
-                    # would blow up — use the dense lockstep walker once
-                    fn = self._xla_fallback_fn(n)
-                    return fn(data_dev)
-                self._cap = 1 << int(np.ceil(np.log2(worst + 1)))
-            else:
-                return fn(self._tables, self._pair_state, self._pair_match,
-                          data_dev)
+        """-> (matches sharded, match_count replicated)."""
+        fn, _ = self._fn_for(n)
+        if self.engine == "sieve":
+            matches, count, ovfs = fn(
+                self._tables, self._dense_flat, data_dev)
+            if any(int(o) for o in jax.device_get(ovfs)):
+                # heavy-stage capacity exhausted on some shard (very deep
+                # AND dense): the lockstep walker is the correct fallback
+                return self._xla_fallback_fn(n)(data_dev)
+            return matches, count
+        return fn(self._tables, self._pair_state, self._pair_match,
+                  data_dev)
 
     def _xla_fallback_fn(self, n: int):
         """A one-off XLA-engine sharded matcher for pathological corpora

@@ -27,7 +27,7 @@ def _random_case(rng: np.random.Generator, heavy: bool = False):
             pats.append(p)
     if heavy:
         # virus-dense: the corpus is mostly pattern content, driving the
-        # survivor count past CAP_MAX into the round-based heavy tail
+        # survivor count past the heavy threshold (CAP_MID)
         n = int(rng.integers(50_000, 250_000))
         chunks, sz = [], 0
         while sz < n:
@@ -59,6 +59,12 @@ def main(argv=None) -> int:
                     help="virus-dense corpora (exercises the heavy tail)")
     args = ap.parse_args(argv)
 
+    if args.heavy:
+        # shrink the heavy threshold so modest corpora exercise the
+        # in-program heavy rounds (must happen before pipelines build)
+        import pfac_tpu.backends.pallas_sieve as _S
+        _S.CAP_MID = 1 << 12
+
     import jax
 
     from ..core.automaton import Automaton
@@ -71,9 +77,6 @@ def main(argv=None) -> int:
         pats, data = _random_case(rng, heavy=args.heavy)
         a = Automaton.from_patterns(pats)
         m = Matcher(automaton=a)
-        if args.heavy:
-            eng = m._engine()
-            eng.CAP_MAX = 1 << 12    # force the heavy branch at small scale
         got = m.match(data)
         exp = golden.match_dense(a, data)
         if not np.array_equal(got, exp):

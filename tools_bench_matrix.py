@@ -60,8 +60,8 @@ def main():
     emit("dense_random", n, t)
 
     # --- DEFCON-like: text traffic with ~1.5% planted pattern content.
-    # Survivor count (~90K/128MB) exceeds CAP_MAX, so the real matcher
-    # takes the heavy-round path — measure THAT, not a truncated tail.
+    # Survivor count (~90K/128MB) exceeds the heavy threshold; the
+    # unified pipeline's in-program switch takes the heavy rounds.
     text = rng.integers(32, 127, size=n, dtype=np.uint8)
     buf = bytearray(text.tobytes())
     budget = int(n * 0.015)
@@ -76,23 +76,13 @@ def main():
     s = bytes(arr[: 1 << 20].tobytes())
     assert np.array_equal(m.match(s), golden.match_dense(a, s))
     dd2 = jax.device_put(arr)
-    npad2 = S.npad_for(n)
-    kfn2, rfn2 = m._heavy_fns(npad2)
-    _, bits2 = kfn2(m._table_args, m._dense_flat, dd2, n_arr)
-    cnt2 = int(jnp.sum(jax.lax.population_count(bits2)))
-    rounds2 = -(-cnt2 // S.HEAVY_CAP)
-
-    def defcon_once():
-        r, b = kfn2(m._table_args, m._dense_flat, dd2, n_arr)
-        for i in range(rounds2):
-            off = jnp.full((1,), i * S.HEAVY_CAP, jnp.int32)
-            r, _ = rfn2(m._dense_flat, dd2, n_arr, b, r, off)
-        return r
-
-    t = amortized(defcon_once, k=4, reps=2)
+    _, cnt2a, _ = fn(m._table_args, m._dense_flat, dd2, n_arr)
+    cnt2 = int(cnt2a)
+    t = amortized(lambda: fn(m._table_args, m._dense_flat, dd2, n_arr)[0],
+                  k=4, reps=2)
     nm = int((golden.match_dense(a, s) > 0).sum())
     emit("defcon_like_1.5pct", n, t,
-         {"survivors": cnt2, "rounds": rounds2, "slice_matches_per_MB": nm,
+         {"survivors": cnt2, "slice_matches_per_MB": nm,
           "reference_GBps": 15.4})
 
     # --- virus-dense worst case (heavy-path compute: kernel + rounds)
@@ -105,23 +95,13 @@ def main():
     harr = np.frombuffer(b"".join(chunks)[:nh], dtype=np.uint8)
     hd = jax.device_put(harr)
     hn = jnp.full((1,), nh, jnp.int32)
-    npadh = S.npad_for(nh)
-    kfn, rfn = m._heavy_fns(npadh)
-    res0, bits = kfn(m._table_args, m._dense_flat, hd, hn)
-    count = int(jnp.sum(jax.lax.population_count(bits)))
-    rounds = -(-count // S.HEAVY_CAP)
-
-    def heavy_once():
-        r, b = kfn(m._table_args, m._dense_flat, hd, hn)
-        for i in range(rounds):
-            off = jnp.full((1,), i * S.HEAVY_CAP, jnp.int32)
-            r, _ = rfn(m._dense_flat, hd, hn, b, r, off)
-        return r
-
-    t = amortized(heavy_once, k=3, reps=2)
+    hfn = m._pipeline_fn(S.npad_for(nh), 4096, aligned=(nh == S.npad_for(nh)))
+    _, hcnt, _ = hfn(m._table_args, m._dense_flat, hd, hn)
+    count = int(hcnt)
+    t = amortized(lambda: hfn(m._table_args, m._dense_flat, hd, hn)[0],
+                  k=3, reps=2)
     emit("virus_dense_worst", nh, t,
-         {"survivors": count, "rounds": rounds,
-          "reference_worst_GBps": 1.12})
+         {"survivors": count, "reference_worst_GBps": 1.12})
 
     # --- compacted output (reduce) on ~3%-match corpus
     from pfac_tpu.backends.xla import _reduce_rowgather
