@@ -275,3 +275,17 @@ class TestFusedChd:
         tw = chd.build_exact_wide2_nodisp(keys.astype(np.uint32),
                                           vals.astype(np.uint32))
         assert tw is not None
+
+
+class TestCheckpointedAutomaton:
+    def test_saved_loaded_automaton_through_sieve(self, tmp_path):
+        # checkpoint/resume (Automaton.save/load) must feed every engine
+        pats = [b"q", b"qw", b"qwe", b"qwert", b"hello"]
+        a = Automaton.from_patterns(pats)
+        path = str(tmp_path / "a.npz")
+        a.save(path)
+        b = Automaton.load(path)
+        m = SieveMatcher(b, interpret=True)
+        data = b"xxqwertyhelloqw"
+        expected = golden.match_dense(a, data)
+        assert m.match(data).tolist() == expected.tolist()
