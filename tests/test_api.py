@@ -173,3 +173,44 @@ class TestPlacementModes:
         m = Matcher([b"AB", b"ABG", b"BEDE", b"ED"], placement="texture_on")
         assert isinstance(m._engine(), SieveMatcher)  # interpret mode on CPU
         assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+
+class TestDeviceApis:
+    def test_match_from_device_capi(self):
+        import jax
+        import numpy as np
+
+        from pfac_tpu.runtime import capi
+        from pfac_tpu.status import PfacStatus
+
+        h = [None]
+        assert capi.PFAC_create(h) == PfacStatus.SUCCESS
+        import os
+        pat = os.path.join(os.path.dirname(__file__), "pattern", "example_pattern")
+        assert capi.PFAC_readPatternFromFile(h[0], pat) == PfacStatus.SUCCESS
+        d_input = jax.device_put(np.frombuffer(b"ABEDEDABG", dtype=np.uint8))
+        d_out = []
+        st = capi.PFAC_matchFromDevice(h[0], d_input, 9, d_out)
+        assert st == PfacStatus.SUCCESS
+        assert np.asarray(d_out[0])[:9].tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+    def test_match_from_device_reduce_capi(self):
+        import jax
+        import numpy as np
+
+        from pfac_tpu.runtime import capi
+        from pfac_tpu.status import PfacStatus
+
+        h = [None]
+        assert capi.PFAC_create(h) == PfacStatus.SUCCESS
+        import os
+        pat = os.path.join(os.path.dirname(__file__), "pattern", "example_pattern")
+        assert capi.PFAC_readPatternFromFile(h[0], pat) == PfacStatus.SUCCESS
+        d_input = jax.device_put(np.frombuffer(b"ABEDEDABG", dtype=np.uint8))
+        d_ids, d_pos, h_num = [], [], []
+        st = capi.PFAC_matchFromDeviceReduce(h[0], d_input, 9, d_ids, d_pos, h_num)
+        assert st == PfacStatus.SUCCESS
+        c = h_num[0]
+        assert c == 5
+        assert np.asarray(d_pos[0])[:c].tolist() == [0, 1, 2, 4, 6]
+        assert np.asarray(d_ids[0])[:c].tolist() == [1, 3, 4, 4, 2]
