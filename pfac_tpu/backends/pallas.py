@@ -1,10 +1,10 @@
 """Pallas backend selection.
 
-`try_build` returns the fastest Pallas matcher that supports the
-configuration, else None (the runtime falls back to the XLA matcher).
-Preference order: sieve (backends/pallas_sieve.py) then ladder
-(backends/pallas_ladder.py). On non-TPU default backends the kernels run
-only in interpret mode, which is for testing — `required=True`
+`try_build` returns the Pallas sieve matcher when it supports the
+configuration, else None (the runtime falls back to the XLA matcher —
+which is also the correct engine for automatons whose tables exceed the
+VMEM budget). On non-TPU default backends the kernel runs only in
+interpret mode, which is for testing — `required=True`
 (backend="pallas") forces it anyway.
 """
 from __future__ import annotations
@@ -25,7 +25,7 @@ def _default_platform() -> str:
 
 
 def try_build(automaton, mode, *, placement, tile, device, required: bool):
-    del mode  # the sieve/ladder kernels subsume dense/hash: same semantics
+    del mode  # the sieve kernel subsumes dense/hash: same semantics
     # placement maps the reference's texture mode (PFAC_setTextureMode):
     # VMEM (TEXTURE_ON analog) forces the VMEM-table Pallas path, HBM
     # (TEXTURE_OFF) forces the HBM-gather XLA walker, AUTO picks.
@@ -47,31 +47,18 @@ def try_build(automaton, mode, *, placement, tile, device, required: bool):
                 PfacStatus.INVALID_PARAMETER,
                 f"sieve tables need {tables.vmem_bytes} bytes of VMEM",
             )
-        return SieveMatcher(automaton, interpret=not on_tpu, device=device)
-    except PfacError:
-        pass
-    except Exception:
-        # e.g. a CHD displacement search that fails to converge on an
-        # adversarial key set — fall through to the next backend
-        if required:
-            raise
-
-    from .pallas_ladder import LadderMatcher, LadderTables
-
-    try:
-        tables = LadderTables.build(automaton)
-        if tables.vmem_bytes > _VMEM_TABLE_BUDGET:
-            raise PfacError(
-                PfacStatus.INVALID_PARAMETER,
-                f"ladder tables need {tables.vmem_bytes} bytes of VMEM",
-            )
         kw = {}
         if tile:
-            kw["tile_rows"] = max(8, tile // 128)
-        return LadderMatcher(
-            automaton, interpret=not on_tpu, device=device, **kw
-        )
+            # geometry must be a multiple of the kernel's halo/unroll unit
+            kw["tile_rows"] = max(64, (tile // 128) // 64 * 64)
+        return SieveMatcher(automaton, interpret=not on_tpu, device=device, **kw)
     except PfacError:
+        if required:
+            raise
+        return None
+    except Exception:
+        # e.g. a CHD displacement search that fails to converge on an
+        # adversarial key set — the XLA walker is the correct fallback
         if required:
             raise
         return None

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import chd
 from ..core.automaton import Automaton
 from ..status import PfacError, PfacStatus
-from .xla import dense_device_table, _to_u8
+from .xla import dense_device_table, _rank_rows, _to_u8
 
 LANES = 128
 TILE_ROWS = 512                # positions per grid step = TILE_ROWS * 128
@@ -238,12 +238,19 @@ class SieveTables:
 # kernel
 # --------------------------------------------------------------------------
 
-def _lookup(ref, w):
+def _lookup(ref, w, interpret: bool = False):
     """table[w] for (8,128) int32 word indices w, against a lane-major
     plane table ref of shape (P*8, 128): planes are scanned with the
     plane-select fused into one compare, the in-plane word fetched with
-    the VPU's dynamic lane gather."""
+    the VPU's dynamic lane gather.
+
+    In interpret mode (CPU tests) the scan is replaced by one flat
+    gather — semantically identical, but it keeps the jaxpr (and the
+    interpreter's op count) independent of table size."""
     n_planes = ref.shape[0] // 8
+    if interpret and n_planes > 2:
+        flat = ref[...][::8, :].reshape(-1)       # plane rows are replicas
+        return jnp.take(flat, w, mode="clip")
     lane = w & 127
     if n_planes == 1:
         return jnp.take_along_axis(ref[0:8, :], lane, axis=1)
@@ -255,7 +262,7 @@ def _lookup(ref, w):
     return acc
 
 
-def _probe_slot(p: "_Probe", disp_planes, prod):
+def _probe_slot(p: "_Probe", disp_planes, prod, interpret: bool = False):
     """Fused CHD slot: bucket and h1 are bit ranges of ONE product
     prod = key * slot_mul (chd.build_*2 tables)."""
     lg_b, lg_r = p.lg_b, p.lg_r
@@ -264,20 +271,22 @@ def _probe_slot(p: "_Probe", disp_planes, prod):
         return (prod >> (32 - lg_r)) & ((1 << lg_r) - 1)
     bk = (prod >> (32 - lg_b)) & ((1 << lg_b) - 1)
     if p.disp_u8:
-        wd = _lookup(disp_planes, bk >> 2)
+        wd = _lookup(disp_planes, bk >> 2, interpret)
         # uniform shifts + selects beat per-lane variable shifts on the VPU
         lo = jnp.where((bk & 1) == 1, wd >> 8, wd)
         d = jnp.where((bk & 2) == 2, lo >> 16, lo) & 0xFF
     else:
-        wd = _lookup(disp_planes, bk >> 1)
+        wd = _lookup(disp_planes, bk >> 1, interpret)
         d = jnp.where((bk & 1) == 1, wd >> 16, wd) & 0xFFFF
     h1 = (prod >> (32 - lg_b - lg_r)) & ((1 << lg_r) - 1)
     return (h1 ^ d) & ((1 << lg_r) - 1)
 
 
-def _make_kernel(tables: SieveTables, grid: int):
+def _make_kernel(tables: SieveTables, grid: int,
+                 tile_rows: int = TILE_ROWS, interpret: bool = False):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
+    TILE_ROWS_, SUB_ = tile_rows, tile_rows // 8
 
     m1_chain = tables.m1_chain
 
@@ -311,11 +320,11 @@ def _make_kernel(tables: SieveTables, grid: int):
         # ---- byte assembly: c0..c3 for every position, via lane rolls
         x = data_ref[:].astype(jnp.int32)                 # (TR,128) = c0
         halo0 = halo_ref[0:1, :].astype(jnp.int32)        # next block's row 0
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
-        xu = pltpu.roll(x, TILE_ROWS - 1, 0)              # row r -> row r+1
-        xu = jnp.where(rows == TILE_ROWS - 1,
-                       jnp.broadcast_to(halo0, (TILE_ROWS, LANES)), xu)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS_, LANES), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS_, LANES), 1)
+        xu = pltpu.roll(x, TILE_ROWS_ - 1, 0)              # row r -> row r+1
+        xu = jnp.where(rows == TILE_ROWS_ - 1,
+                       jnp.broadcast_to(halo0, (TILE_ROWS_, LANES)), xu)
 
         def shifted(k):
             a = pltpu.roll(x, LANES - k, 1)               # lane j -> j+k
@@ -335,7 +344,7 @@ def _make_kernel(tables: SieveTables, grid: int):
         # probes require rd > depth (their last byte read must be < n)
         base8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
                  + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1))
-        n_loc = n - g * (TILE_ROWS * LANES)
+        n_loc = n - g * (TILE_ROWS_ * LANES)
 
         # ---- per row-group probes
         def sub_blk(r, _):
@@ -352,14 +361,14 @@ def _make_kernel(tables: SieveTables, grid: int):
                     for ch, pid in m1_chain:
                         match = jnp.where(c0 == ch, pid, match)
                 elif has_m1:
-                    match = _lookup(m1_planes, k2s >> 8)
+                    match = _lookup(m1_planes, k2s >> 8, interpret)
                 if m2 is not None:
                     k = k2s
                     prod = k * _I32(m2.slot_mul)
-                    slot = _probe_slot(m2, m2_disp, prod)
-                    w = _lookup(m2_words, slot)
+                    slot = _probe_slot(m2, m2_disp, prod, interpret)
+                    w = _lookup(m2_words, slot, interpret)
                     if m2_keyw is not None:         # wide (ids > 15 bits)
-                        kw = _lookup(m2_keyw, slot)
+                        kw = _lookup(m2_keyw, slot, interpret)
                         hit = (kw == k) & (rd > 1)
                         match = jnp.where(hit, w, match)
                     else:
@@ -370,17 +379,17 @@ def _make_kernel(tables: SieveTables, grid: int):
                 if m3 is not None:
                     k = sl(k3_ref)
                     prod = k * _I32(m3.slot_mul)
-                    slot = _probe_slot(m3, m3_disp, prod)
-                    w = _lookup(m3_words, slot)
-                    kw = _lookup(m3_keyw, slot)     # empty = a member key
+                    slot = _probe_slot(m3, m3_disp, prod, interpret)
+                    w = _lookup(m3_words, slot, interpret)
+                    kw = _lookup(m3_keyw, slot, interpret)     # empty = a member key
                     hit = (kw == k) & (rd > 2)
                     match = jnp.where(hit, w, match)
                 out = jnp.where(rd > 0, match, 0)
                 if alive is not None:
                     k = sl(k4_ref)
                     prod = k * _I32(alive.slot_mul)
-                    slot = _probe_slot(alive, al_disp, prod)
-                    w = _lookup(al_words, slot >> 1)
+                    slot = _probe_slot(alive, al_disp, prod, interpret)
+                    w = _lookup(al_words, slot >> 1, interpret)
                     r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
                     # the stored residual is the product's low 16 bits
                     a = (r16 == (prod & 0xFFFF)) & (rd > 3)
@@ -388,12 +397,12 @@ def _make_kernel(tables: SieveTables, grid: int):
                 out_ref[pl.ds(rr * 8, 8), :] = out
             return 0
 
-        jax.lax.fori_loop(0, SUB // UNROLL, sub_blk, 0)
+        jax.lax.fori_loop(0, SUB_ // UNROLL, sub_blk, 0)
 
         # ---- pack alive bits: one int32 word per (8,128) row-group column
         w = out_ref[:]
-        a3 = ((w >> 30) & 1).reshape(SUB, 8, LANES)
-        s = jax.lax.broadcasted_iota(jnp.int32, (SUB, 8, LANES), 1)
+        a3 = ((w >> 30) & 1).reshape(SUB_, 8, LANES)
+        s = jax.lax.broadcasted_iota(jnp.int32, (SUB_, 8, LANES), 1)
         bits_ref[:] = jnp.sum(a3 << s, axis=1)
         out_ref[:] = w & ~(1 << 30)
 
@@ -404,26 +413,22 @@ def _make_kernel(tables: SieveTables, grid: int):
 # XLA wrapper: compaction (row gathers only) + staged exact tail
 # --------------------------------------------------------------------------
 
-def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0):
+def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
+             vals2d: jax.Array | None = None):
     """bits: (nb, 128) per-row-group alive bitmaps (bit s of lane j =
     position group*1024 + s*128 + j). Returns (pos[cap], count) for
     survivor ranks (rank_offset, rank_offset + cap]; padding entries hold
-    npad (dropped by the scatter)."""
-    nb = bits.shape[0]
+    npad (dropped by the scatter).
+
+    With vals2d (npad//128, 128) given, also returns vals2d's entry at
+    each survivor position (row gather + one-hot lane pick; no element
+    gathers) — the walker branches use this to carry the kernel's exact
+    depth-1..3 match through the merge."""
     counts = jax.lax.population_count(bits).sum(axis=1)        # (nb,)
     bcum = jnp.cumsum(counts)
     count = bcum[-1]
     q = jnp.arange(1, cap + 1, dtype=jnp.int32) + rank_offset
-    lo = jnp.zeros(cap, jnp.int32)
-    hi = jnp.full(cap, nb, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(max(2, nb)))) + 1):
-        mid = (lo + hi) >> 1
-        v = jnp.take(bcum, jnp.minimum(mid, nb - 1))
-        go_right = v < q
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    blk = jnp.minimum(lo, nb - 1)
-    prev = jnp.where(blk > 0, jnp.take(bcum, jnp.maximum(blk - 1, 0)), 0)
+    blk, prev = _rank_rows(bcum, q)
     rank = q - prev
     rows = jnp.take(bits, blk, axis=0)                         # (cap,128) row gather
     sbit = jnp.arange(8, dtype=jnp.int32)
@@ -432,7 +437,16 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0):
     rcum = jnp.cumsum(expf, axis=1)
     within = jnp.argmax(rcum >= rank[:, None], axis=1).astype(jnp.int32)
     pos = blk * 1024 + within
-    return jnp.where(q <= count, pos, npad), count
+    pos = jnp.where(q <= count, pos, npad)
+    if vals2d is None:
+        return pos, count
+    vrow = jnp.minimum(blk * 8 + (within >> 7), vals2d.shape[0] - 1)
+    vrows = jnp.take(vals2d, vrow, axis=0)                     # (cap,128)
+    lane = within & 127
+    onehot = (jnp.arange(LANES, dtype=jnp.int32)[None, :] == lane[:, None])
+    vals = jnp.sum(jnp.where(onehot, vrows, 0), axis=1)
+    vals = jnp.where(q <= count, vals, 0)
+    return pos, count, vals
 
 
 def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
@@ -652,21 +666,31 @@ def _build_heavy_all(automaton: Automaton, npad: int):
 
 def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                    npad: int, cap: int, interpret: bool = False,
-                   kernel_only: bool = False, aligned: bool = False):
+                   kernel_only: bool = False, aligned: bool = False,
+                   tile_rows: int = TILE_ROWS, walk_tables=None):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
-        run(table_args, dense_flat, data_u8, n_arr) -> (result, count)
+        run(table_args, dense_flat, data_u8, n_arr) -> (result, count, ovf)
 
-    Not jitted — callable directly, under jax.jit, or inside shard_map
-    (the distributed matcher runs it per shard with a ppermute halo).
-    `n_arr` is a (1,) int32 giving the true byte count; positions at or
-    past it report 0 and never match. With aligned=True the caller
-    guarantees len(data_u8) == npad, skipping the padded-buffer copy
-    (the lookahead halo comes from a separate zero block instead).
+    `table_args` is the sieve kernel's plane arrays followed by the
+    survivor-walk engine's (walk_tables.arrays) when walk_tables is given
+    — the split is static. Not jitted — callable directly, under jax.jit,
+    or inside shard_map (the distributed matcher runs it per shard with a
+    ppermute halo). `n_arr` is a (1,) int32 giving the true byte count;
+    positions at or past it report 0 and never match. With aligned=True
+    the caller guarantees len(data_u8) == npad, skipping the
+    padded-buffer copy (the lookahead halo comes from a separate zero
+    block instead).
     """
-    grid = npad // (TILE_ROWS * LANES)
-    kernel = _make_kernel(tables, grid)
+    if tile_rows % max(HALO_ROWS, 8 * UNROLL) or tile_rows <= 0:
+        raise PfacError(
+            PfacStatus.INVALID_PARAMETER,
+            f"tile_rows must be a positive multiple of {max(HALO_ROWS, 8 * UNROLL)}",
+        )
+    grid = npad // (tile_rows * LANES)
+    kernel = _make_kernel(tables, grid, tile_rows, interpret)
+    sub = tile_rows // 8
     a = automaton
     has_alive = tables.alive is not None
     table_shapes = [t.shape for t in tables.arrays]
@@ -676,7 +700,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                      memory_space=pltpu.VMEM)
         for shape in table_shapes
     ]
-    hb = TILE_ROWS // HALO_ROWS
+    hb = tile_rows // HALO_ROWS
     if aligned:
         # halo = next block's head, clamped for the final grid step: its
         # lookahead bytes are garbage there, but they only feed c1..c3 of
@@ -692,26 +716,31 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+        pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         halo_spec,
     ] + tab_specs
     out_specs = [
-        pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+        pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+        pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((grid * TILE_ROWS, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((grid * SUB, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((grid * sub, LANES), jnp.int32),
     ]
-    rows_u8 = grid * TILE_ROWS + HALO_ROWS
+    rows_u8 = grid * tile_rows + HALO_ROWS
+
+    n_sieve_args = len(tables.arrays)
+    wt = walk_tables
 
     def run(table_args, dense_flat, data_u8, n_arr):
+        sieve_args = table_args[:n_sieve_args]
+        walk_args = table_args[n_sieve_args:]
         n_smem = n_arr.reshape(1, 1)
         if aligned:
-            data2d = data_u8.reshape(grid * TILE_ROWS, LANES)
+            data2d = data_u8.reshape(grid * tile_rows, LANES)
         else:
             padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
             padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
@@ -723,11 +752,11 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((TILE_ROWS, LANES), jnp.int32)
+                pltpu.VMEM((tile_rows, LANES), jnp.int32)
                 for _ in range(3)
             ],
             interpret=interpret,
-        )(n_smem, data2d, data2d, *table_args)
+        )(n_smem, data2d, data2d, *sieve_args)
         matches = out.reshape(-1)
         if kernel_only:
             return matches, bits
@@ -735,38 +764,112 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             return matches, jnp.int32(0), jnp.int32(0)
         count = jnp.sum(jax.lax.population_count(bits)).astype(jnp.int32)
 
-        def fused_tail(c):
-            """Survivors fit capacity c: one compaction + staged walk."""
-            def branch(m):
-                pos, _ = _compact(bits, c, npad)
-                tail = _tail_walk(
-                    dense_flat, data_u8, pos, n_arr[0],
-                    max_len=a.max_pattern_len, num_final=a.num_final_states,
-                    initial_state=a.initial_state,
-                )
-                return m.at[pos].set(tail, mode="drop"), jnp.int32(0)
-            return branch
+        if wt is not None:
+            # ---- Pallas survivor-walk engine (backends/pallas_walk.py):
+            # exact deep walks over depth-sliced VMEM tables; every
+            # survivor walks to full depth, so no stage capacities and no
+            # overflow flag. The kernel's exact depth-1..3 match rides
+            # along from compaction; a deeper walker match overrides it
+            # (longest match wins).
+            from .pallas_walk import GROUP, build_walker
 
-        heavy = _build_heavy_all(a, npad)
+            out2d = out.reshape(-1, LANES)
+            walkfns: dict = {}
 
-        def heavy_branch(m):
-            return heavy(dense_flat, data_u8, n_arr, bits, m, count)
+            def get_walkfn(cw):
+                if cw not in walkfns:
+                    walkfns[cw] = build_walker(wt, cap=cw,
+                                               interpret=interpret)
+                return walkfns[cw]
+
+            def walker_round(walkfn, cw, m, off):
+                pos, _, m123 = _compact(bits, cw, npad, rank_offset=off,
+                                        vals2d=out2d)
+                walk = walkfn(walk_args, data2d, pos, n_arr)
+                merged = jnp.where(walk > 0, walk, m123)
+                return m.at[pos].set(merged, mode="drop")
+
+            def walker_tail(c):
+                # survivor count never exceeds npad, so clamp capacities
+                # to it — small inputs get small walker grids
+                cw = min(-(-c // GROUP) * GROUP, npad)
+                walkfn = get_walkfn(cw)
+
+                def branch(m):
+                    return walker_round(walkfn, cw, m, 0), jnp.int32(0)
+                return branch
+
+            hc = min(-(-HEAVY_CAP // GROUP) * GROUP, npad)
+            heavy_walkfn = get_walkfn(hc)
+
+            def heavy_branch(m):
+                def cond(s):
+                    i, _ = s
+                    return i * hc < count
+
+                def body(s):
+                    i, result = s
+                    return i + 1, walker_round(heavy_walkfn, hc, result,
+                                               i * hc)
+
+                _, result = jax.lax.while_loop(cond, body, (jnp.int32(0), m))
+                return result, jnp.int32(0)
+
+            branches = [walker_tail(cap), walker_tail(CAP_MID), heavy_branch]
+        else:
+            # Fallback staged XLA walkers (elementwise gathers): only for
+            # rulesets the walk tables can't encode (pattern IDs or
+            # per-depth state counts >= 2^16)
+            def fused_tail(c):
+                """Survivors fit capacity c: one compaction + staged walk."""
+                def branch(m):
+                    pos, _ = _compact(bits, c, npad)
+                    tail = _tail_walk(
+                        dense_flat, data_u8, pos, n_arr[0],
+                        max_len=a.max_pattern_len,
+                        num_final=a.num_final_states,
+                        initial_state=a.initial_state,
+                    )
+                    return m.at[pos].set(tail, mode="drop"), jnp.int32(0)
+                return branch
+
+            heavy = _build_heavy_all(a, npad)
+
+            def heavy_branch(m):
+                return heavy(dense_flat, data_u8, n_arr, bits, m, count)
+
+            branches = [fused_tail(cap), fused_tail(CAP_MID), heavy_branch]
 
         # 0: light (typical corpora), 1: mid, 2: heavy rounds — one program
         # handles every survivor density; no host-side capacity retries
         idx = ((count > cap).astype(jnp.int32)
                + (count > CAP_MID).astype(jnp.int32))
-        result, overflow = jax.lax.switch(
-            idx, [fused_tail(cap), fused_tail(CAP_MID), heavy_branch], matches)
+        result, overflow = jax.lax.switch(idx, branches, matches)
         return result, count, overflow
 
     return run
 
 
-def npad_for(n: int) -> int:
+def npad_for(n: int, tile_rows: int = TILE_ROWS) -> int:
     """Positions padded up to the kernel's grid-step granularity."""
-    block = TILE_ROWS * LANES
+    block = tile_rows * LANES
     return max(1, -(-n // block)) * block
+
+
+_WALK_VMEM_BUDGET = 6 << 20
+
+
+def build_walk_tables_gated(automaton: Automaton, tables: SieveTables):
+    """Survivor-walk tables when the ruleset supports them and they fit
+    VMEM; None routes the pipeline's tail to the XLA fallback walkers."""
+    if tables.alive is None:
+        return None                     # no length>=4 patterns: no tail
+    from .pallas_walk import build_walk_tables
+
+    wt = build_walk_tables(automaton)
+    if wt is not None and wt.vmem_bytes > _WALK_VMEM_BUDGET:
+        return None
+    return wt
 
 
 class SieveMatcher:
@@ -775,15 +878,26 @@ class SieveMatcher:
     Interface-compatible with backends.xla.XlaMatcher.
     """
 
-    def __init__(self, automaton: Automaton, *, tile_rows: int = TILE_ROWS,
+    def __init__(self, automaton: Automaton, *, tile_rows: int | None = None,
                  interpret: bool = False, device=None):
-        del tile_rows  # fixed-geometry kernel; kept for interface parity
+        if tile_rows is None:
+            # interpret mode (CPU tests) drags every grid step through the
+            # Pallas interpreter — small tiles keep the suite fast; the
+            # compiled path keeps the measured-optimal production geometry
+            tile_rows = 64 if interpret else TILE_ROWS
+        self.tile_rows = tile_rows
         self.automaton = automaton
         self.interpret = interpret
         self.device = device
         self.tables = SieveTables.build(automaton)
+        self.walk_tables = build_walk_tables_gated(
+            automaton, self.tables)
         put = lambda x: jax.device_put(jnp.asarray(x), device)
-        self._table_args = [put(a) for a in self.tables.arrays]
+        self._table_args = [
+            put(a) for a in
+            self.tables.arrays + (self.walk_tables.arrays
+                                  if self.walk_tables is not None else [])
+        ]
         self._dense_flat = put(dense_device_table(automaton).reshape(-1))
         self._fns: dict = {}
         self._cap = 1 << 12
@@ -799,7 +913,8 @@ class SieveMatcher:
         return self._fallback_engine
 
     # ------------------------------------------------------------ pipeline
-    _npad = staticmethod(npad_for)
+    def _npad(self, n: int) -> int:
+        return npad_for(n, self.tile_rows)
 
     def _pipeline_fn(self, npad: int, cap: int, aligned: bool = False):
         key = (npad, cap, aligned)
@@ -808,17 +923,22 @@ class SieveMatcher:
             fn = jax.jit(build_pipeline(
                 self.automaton, self.tables, npad=npad, cap=cap,
                 interpret=self.interpret, aligned=aligned,
+                tile_rows=self.tile_rows, walk_tables=self.walk_tables,
             ))
             self._fns[key] = fn
         return fn
 
-    def _dispatch(self, data_u8: jax.Array):
+    def _dispatch(self, data_u8: jax.Array, n: int | None = None):
         """-> (result, count, overflow). The pipeline handles EVERY
         survivor density in one program (light/mid/heavy switch); overflow
         is nonzero only when a heavy-stage capacity was exceeded (very
         deep AND very dense rulesets), in which case the result is
-        incomplete and the caller must use the fallback walker."""
-        n = int(data_u8.shape[0])
+        incomplete and the caller must use the fallback walker.
+
+        `n` is the true byte count when data_u8 is already bucket-padded
+        (positions at or past n report 0)."""
+        if n is None:
+            n = int(data_u8.shape[0])
         if n > (1 << 31) - (1 << 17):
             raise PfacError(
                 PfacStatus.INVALID_PARAMETER,
@@ -827,7 +947,8 @@ class SieveMatcher:
             )
         npad = self._npad(n)
         cap = min(self._cap, npad)
-        fn = self._pipeline_fn(npad, cap, aligned=(n == npad))
+        fn = self._pipeline_fn(npad, cap,
+                               aligned=(int(data_u8.shape[0]) == npad))
         n_arr = jnp.full((1,), n, jnp.int32)
         return fn(self._table_args, self._dense_flat, data_u8, n_arr)
 
@@ -869,8 +990,14 @@ class SieveMatcher:
         n = arr.shape[0]
         if n == 0:
             return np.zeros(0, dtype=np.int32)
+        # pad host-side to the npad bucket: every input length in the
+        # bucket then shares ONE compiled (aligned) pipeline instead of
+        # retracing per byte-length (n_arr carries the true count)
+        npad = self._npad(n)
+        if n != npad:
+            arr = np.pad(arr, (0, npad - n))
         data_dev = jax.device_put(arr, self.device)
-        result, _, overflow = self._dispatch(data_dev)
+        result, _, overflow = self._dispatch(data_dev, n=n)
         # one batched transfer: result + flag in a single round trip
         res_np, ovf = jax.device_get((result, overflow))
         if int(ovf):

@@ -43,6 +43,7 @@ from ..core.trie import CHAR_SET, TRAP_STATE
 SENTINEL = CHAR_SET  # 256: the padding byte value; column 256 is all-trap
 STRIDE = CHAR_SET + 1  # 257 columns in device tables
 DEFAULT_TILE = 1 << 17  # 128K start positions per tile
+LANES = 128             # vreg lane count (row width for rank searches)
 
 
 # --------------------------------------------------------------------------
@@ -349,6 +350,37 @@ class XlaMatcher:
         return host_reduce(self.match(data))
 
 
+def _rank_rows(bcum: jax.Array, q: jax.Array):
+    """searchsorted(bcum, q) + the preceding cumulative value, built from
+    row gathers and compare-sums only. The naive per-rank binary search
+    costs ~log2(nb) ELEMENTWISE gathers per rank (~9 ms per 64K-rank
+    round on this chip); this two-level form is pure row-gather + VPU
+    compare traffic (~0.3 ms).
+
+    Returns (row, prev) with row = first index where bcum[row] >= q
+    (clamped to nb-1) and prev = bcum[row-1] (0 when row == 0)."""
+    nb = bcum.shape[0]
+    nc = -(-nb // LANES)
+    pad = jnp.broadcast_to(bcum[-1:], (nc * LANES - nb,))
+    b2 = jnp.concatenate([bcum, pad]).reshape(nc, LANES)
+    ccum = b2[:, -1]                                    # (nc,) block ends
+    cblk = jnp.sum((ccum[None, :] < q[:, None]).astype(jnp.int32), axis=1)
+    cblk = jnp.minimum(cblk, nc - 1)
+    rows = jnp.take(b2, cblk, axis=0)                   # (cap, LANES)
+    rib = jnp.sum((rows < q[:, None]).astype(jnp.int32), axis=1)
+    rib = jnp.minimum(rib, LANES - 1)
+    row = jnp.minimum(cblk * LANES + rib, nb - 1)
+    lane_prev = jnp.sum(
+        jnp.where(jnp.arange(LANES, dtype=jnp.int32)[None, :]
+                  == (rib - 1)[:, None], rows, 0), axis=1)
+    coarse_prev = jnp.sum(
+        jnp.where(jnp.arange(nc, dtype=jnp.int32)[None, :]
+                  == (cblk - 1)[:, None], ccum[None, :], 0), axis=1)
+    prev = jnp.where(rib > 0, lane_prev, coarse_prev)   # both 0 at row 0
+    return row, prev
+
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _reduce_rowgather(match_padded: jax.Array, *, cap: int = 1 << 16):
     """Stream compaction built from row gathers + cumsums only.
@@ -379,26 +411,20 @@ def _reduce_rowgather(match_padded: jax.Array, *, cap: int = 1 << 16):
     n_alloc = n128 + cap
     ids0 = jnp.zeros(n_alloc, jnp.int32)
     pos0 = jnp.zeros(n_alloc, jnp.int32)
-    search_iters = int(np.ceil(np.log2(max(2, nrows)))) + 1
 
     def chunk_body(state):
         i, ids, pos = state
         q = i * cap + jnp.arange(1, cap + 1, dtype=jnp.int32)
-        lo = jnp.zeros(cap, jnp.int32)
-        hi = jnp.full(cap, nrows, jnp.int32)
-        for _ in range(search_iters):
-            mid = (lo + hi) >> 1
-            v = jnp.take(bcum, jnp.minimum(mid, nrows - 1))
-            go_right = v < q
-            lo = jnp.where(go_right, mid + 1, lo)
-            hi = jnp.where(go_right, hi, mid)
-        row = jnp.minimum(lo, nrows - 1)
-        prev = jnp.where(row > 0, jnp.take(bcum, jnp.maximum(row - 1, 0)), 0)
+        # two-level compare-sum rank search: row gathers + VPU compares
+        # only (a per-rank binary search costs log2(nrows) elementwise
+        # gathers per rank — ~9 ms per 64K chunk on this chip)
+        row, prev = _rank_rows(bcum, q)
         rank = q - prev
         vals = jnp.take(m2d, row, axis=0)            # (cap,128) row gather
         rcum = jnp.cumsum((vals > 0).astype(jnp.int32), axis=1)
         within = jnp.argmax(rcum >= rank[:, None], axis=1).astype(jnp.int32)
-        cid = jnp.take_along_axis(vals, within[:, None], axis=1)[:, 0]
+        cid = jnp.sum(jnp.where(jnp.arange(128, dtype=jnp.int32)[None, :]
+                                == within[:, None], vals, 0), axis=1)
         cpos = row * 128 + within
         valid = q <= count
         cid = jnp.where(valid, cid, 0)

@@ -372,7 +372,10 @@ def _search_nodisp_mul(keys: np.ndarray, r: int, tries: int = 1 << 17) -> int | 
     if n > r:
         return None
     rng = np.random.default_rng(0xC0FFEE ^ (n * 2654435761) & 0xFFFFFFFF)
-    chunk = max(1, (1 << 22) // max(1, n))
+    max_chunk = max(1, (1 << 22) // max(1, n))
+    # grow the batch geometrically: small key sets usually succeed within
+    # the first few dozen tries, so don't pay a multi-million-row batch
+    chunk = min(max_chunk, 512)
     done = 0
     while done < tries:
         muls = (rng.integers(0, 1 << 31, size=chunk, dtype=np.int64) * 2 + 1
@@ -385,6 +388,7 @@ def _search_nodisp_mul(keys: np.ndarray, r: int, tries: int = 1 << 17) -> int | 
         if hit.size:
             return int(muls[hit[0]])
         done += chunk
+        chunk = min(max_chunk, chunk * 4)
     return None
 
 
@@ -436,5 +440,5 @@ def build_exact_wide2_nodisp(keys: np.ndarray, values: np.ndarray):
 def lookup_nodisp(t: ChdTable, key: int) -> int:
     """Oracle slot for nodisp tables."""
     lg_r = int(np.log2(t.num_slots))
-    prod = np.uint32(np.uint32(key) * np.uint32(t.nodisp_mul))
+    prod = np.uint32((int(key) * int(t.nodisp_mul)) & 0xFFFFFFFF)
     return int(prod >> np.uint32(32 - lg_r))

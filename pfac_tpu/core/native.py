@@ -64,18 +64,25 @@ def _load():
             lib = ctypes.CDLL(so)
         except OSError:
             return None
-        lib.pfac_compile.restype = ctypes.POINTER(_CompileResult)
-        lib.pfac_compile.argtypes = [ctypes.c_char_p, ctypes.c_int64]
-        lib.pfac_compile_free.argtypes = [ctypes.POINTER(_CompileResult)]
-        lib.chd_assign.restype = ctypes.c_int
-        lib.chd_assign_fused.restype = ctypes.c_int
-        lib.chd_assign_fused.argtypes = lib.chd_assign.argtypes = [
-            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
-            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.pfac_host_abi_version.restype = ctypes.c_int
-        if lib.pfac_host_abi_version() != 2:
+        try:
+            # ABI gate FIRST: a stale prebuilt .so (mtime >= source but an
+            # old ABI) must fall back to Python, not raise AttributeError
+            # out of the transparent-fallback contract when binding symbols
+            # the old ABI lacks (e.g. chd_assign_fused, ABI v2+).
+            lib.pfac_host_abi_version.restype = ctypes.c_int
+            if lib.pfac_host_abi_version() != 2:
+                return None
+            lib.pfac_compile.restype = ctypes.POINTER(_CompileResult)
+            lib.pfac_compile.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.pfac_compile_free.argtypes = [ctypes.POINTER(_CompileResult)]
+            lib.chd_assign.restype = ctypes.c_int
+            lib.chd_assign_fused.restype = ctypes.c_int
+            lib.chd_assign_fused.argtypes = lib.chd_assign.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32,
+                ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+            ]
+        except AttributeError:
             return None
         return lib
 

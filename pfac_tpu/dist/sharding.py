@@ -47,6 +47,31 @@ from ..backends.xla import (
 AXIS = "data"
 
 
+def _compact_capped(m: jax.Array, cap: int):
+    """Device-side compaction of a dense match vector into at most `cap`
+    (id, pos) pairs, positions ascending: row-gather rank search only
+    (see xla._rank_rows). Returns (ids[cap], pos[cap], count) — entries
+    past count are zero; count may exceed cap (caller must detect)."""
+    from ..backends.xla import _rank_rows
+
+    m2d = m.reshape(-1, 128)
+    counts = (m2d > 0).sum(axis=1, dtype=jnp.int32)
+    bcum = jnp.cumsum(counts)
+    count = bcum[-1]
+    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    row, prev = _rank_rows(bcum, q)
+    rank = q - prev
+    vals = jnp.take(m2d, row, axis=0)                  # (cap,128) row gather
+    rcum = jnp.cumsum((vals > 0).astype(jnp.int32), axis=1)
+    within = jnp.argmax(rcum >= rank[:, None], axis=1).astype(jnp.int32)
+    lane = jnp.arange(128, dtype=jnp.int32)
+    cid = jnp.sum(jnp.where(lane[None, :] == within[:, None], vals, 0),
+                  axis=1)
+    cpos = row * 128 + within
+    valid = q <= count
+    return (jnp.where(valid, cid, 0), jnp.where(valid, cpos, 0), count)
+
+
 def make_data_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     """A 1-D mesh over all (or the first N) addressable devices."""
     if devices is None:
@@ -77,8 +102,14 @@ class ShardedMatcher:
     tile: int = DEFAULT_TILE
     engine: str = "auto"
     interpret: bool = False
+    tile_rows: int | None = None   # sieve kernel geometry per shard
 
     def __post_init__(self):
+        if self.tile_rows is None:
+            # small interpret-mode tiles keep CPU-mesh tests fast (same
+            # policy as SieveMatcher); real chips get production geometry
+            from ..backends.pallas_sieve import TILE_ROWS
+            self.tile_rows = 64 if self.interpret else TILE_ROWS
         if self.mesh is None:
             self.mesh = make_data_mesh()
         if self.engine == "auto":
@@ -92,9 +123,13 @@ class ShardedMatcher:
             from ..backends import pallas_sieve as sieve
 
             self._sieve_tables = sieve.SieveTables.build(a)
+            self._walk_tables = sieve.build_walk_tables_gated(
+                a, self._sieve_tables)
+            arrays = self._sieve_tables.arrays + (
+                self._walk_tables.arrays
+                if self._walk_tables is not None else [])
             self._tables = tuple(
-                jax.device_put(jnp.asarray(x), rep)
-                for x in self._sieve_tables.arrays
+                jax.device_put(jnp.asarray(x), rep) for x in arrays
             )
             self._dense_flat = jax.device_put(
                 jnp.asarray(dense_device_table(a).reshape(-1)), rep)
@@ -126,7 +161,7 @@ class ShardedMatcher:
         per = -(-n // nd)
         if self.engine == "sieve":
             from ..backends.pallas_sieve import npad_for
-            return npad_for(per)
+            return npad_for(per, self.tile_rows)
         return max(1, -(-per // self.tile)) * self.tile
 
     def _build_fn_sieve(self, shard_len: int, n: int):
@@ -144,8 +179,9 @@ class ShardedMatcher:
         nd = self.num_devices
         pipeline = sieve.build_pipeline(
             a, self._sieve_tables,
-            npad=sieve.npad_for(shard_len + halo), cap=1 << 12,
-            interpret=self.interpret,
+            npad=sieve.npad_for(shard_len + halo, self.tile_rows),
+            cap=1 << 12, interpret=self.interpret,
+            walk_tables=self._walk_tables, tile_rows=self.tile_rows,
         )
 
         def local_match(tables, dense_flat, data_local):
@@ -171,6 +207,50 @@ class ShardedMatcher:
             in_specs=(P(), P(), P(AXIS)),
             out_specs=(P(AXIS), P(), P(AXIS)),
             # pallas_call out_shapes carry no varying-mesh-axes annotation
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_reduce_fn_sieve(self, shard_len: int, n: int, cap_r: int):
+        """Per-shard match + DEVICE-side compaction: each shard returns at
+        most cap_r (id, pos) pairs + its true count — the dense match
+        vector never reaches the host (the reference's reduce contract,
+        PFAC/src/PFAC_reduce_kernel.cu:306-457, lifted to the mesh).
+        Shard-local positions are int32; the host rebases to global
+        int64."""
+        from ..backends import pallas_sieve as sieve
+
+        a = self.automaton
+        halo = max(a.max_pattern_len, 2)
+        nd = self.num_devices
+        pipeline = sieve.build_pipeline(
+            a, self._sieve_tables,
+            npad=sieve.npad_for(shard_len + halo, self.tile_rows),
+            cap=1 << 12, interpret=self.interpret,
+            walk_tables=self._walk_tables, tile_rows=self.tile_rows,
+        )
+
+        def local_reduce(tables, dense_flat, data_local):
+            idx = jax.lax.axis_index(AXIS)
+            head = jax.lax.dynamic_slice(data_local, (0,), (halo,))
+            perm = [(i, i - 1) for i in range(1, nd)]
+            halo_bytes = jax.lax.ppermute(head, AXIS, perm) if perm else head
+            ext = jnp.concatenate([data_local, halo_bytes])
+            n_valid = jnp.clip(n - idx * shard_len, 0, shard_len + halo)
+            result, _, ovf = pipeline(
+                tables, dense_flat, ext,
+                n_valid.reshape(1).astype(jnp.int32),
+            )
+            owned = jax.lax.dynamic_slice(result, (0,), (shard_len,))
+            ids, pos, count = _compact_capped(owned, cap_r)
+            flags = jnp.stack([count, ovf | (count > cap_r).astype(jnp.int32)])
+            return ids, pos, flags.reshape(1, 2)
+
+        fn = jax.shard_map(
+            local_reduce,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -293,14 +373,46 @@ class ShardedMatcher:
         _, count = self._run(self._put(arr, self._shard_len(n)), n)
         return int(count)
 
+    reduce_cap: int = 1 << 20     # per-shard device compaction capacity
+
     def match_reduce(self, data) -> tuple[np.ndarray, np.ndarray, int]:
-        """Compacted (ids, positions, count) — gathered to host, positions
-        ascending globally."""
+        """Compacted (ids, positions, count), positions ascending globally.
+
+        On the sieve engine each shard compacts its own matches on device
+        (row-gather rank select) and ships at most `reduce_cap` pairs —
+        the dense result never materializes on the host. Positions are
+        int64: inputs >= 2^31 bytes are exactly what the sharded path
+        exists for. Shards beyond `reduce_cap` matches (or a heavy-stage
+        overflow on the no-walk-tables fallback) route to the dense path."""
         arr = _to_u8(data)
         n = arr.shape[0]
         if n == 0:
             z = np.zeros(0, dtype=np.int32)
-            return z, z, 0
+            return z.astype(np.int32), np.zeros(0, dtype=np.int64), 0
+        if self.engine == "sieve":
+            shard_len = self._shard_len(n)
+            cap_r = min(self.reduce_cap, shard_len)
+            key = ("reduce", shard_len, n, cap_r)
+            fn = self._sharded_fns.get(key)
+            if fn is None:
+                fn = self._build_reduce_fn_sieve(shard_len, n, cap_r)
+                self._sharded_fns[key] = fn
+            ids, pos, flags = fn(self._tables, self._dense_flat,
+                                 self._put(arr, shard_len))
+            flags = np.asarray(flags)          # (nd, 2): count, overflow
+            if not flags[:, 1].any():
+                ids = np.asarray(ids).reshape(self.num_devices, cap_r)
+                pos = np.asarray(pos).reshape(self.num_devices, cap_r)
+                out_i, out_p = [], []
+                for s in range(self.num_devices):
+                    c = int(flags[s, 0])
+                    out_i.append(ids[s, :c])
+                    out_p.append(pos[s, :c].astype(np.int64)
+                                 + np.int64(s) * shard_len)
+                gi = np.concatenate(out_i).astype(np.int32)
+                gp = np.concatenate(out_p)
+                return gi, gp, int(gp.shape[0])
+            # overflow: fall through to the dense path
         m = self.match(data)
-        pos = np.nonzero(m > 0)[0].astype(np.int32)
+        pos = np.nonzero(m > 0)[0]
         return m[pos].astype(np.int32), pos, int(pos.shape[0])

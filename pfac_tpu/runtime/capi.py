@@ -196,6 +196,11 @@ def PFAC_matchFromDevice(handle, d_input, size, d_matched_result) -> PfacStatus:
         return PfacStatus.SUCCESS
     try:
         out = handle.matcher.match_device(d_input)
+        # the reference reports errors per call (PFAC/src/PFAC.cpp:843-876);
+        # flush the engine's deferred overflow flags so SUCCESS here means
+        # `out` is complete — C-API consumers get per-call error discipline
+        # even though the raw SieveMatcher defers the (~30 ms) sync.
+        handle.matcher.flush_checks()
         d_matched_result.insert(0, out)
     except PfacError as e:
         return e.status
@@ -244,9 +249,28 @@ def PFAC_matchFromDeviceReduce(
         return PfacStatus.SUCCESS
     try:
         ids, pos, count = handle.matcher.match_reduce_device(d_input)
+        handle.matcher.flush_checks()   # per-call error discipline (see above)
         d_matched_result.insert(0, ids)
         d_pos.insert(0, pos)
         h_num_matched.insert(0, int(count))
+    except PfacError as e:
+        return e.status
+    except Exception:
+        return PfacStatus.INTERNAL_ERROR
+    return PfacStatus.SUCCESS
+
+
+def PFAC_synchronize(handle: _Handle) -> PfacStatus:
+    """Flush deferred device-path error checks (no reference analog; the
+    CUDA library reported errors per call because every call synced). Any
+    error deferred by earlier PFAC_matchFromDevice[Reduce] calls made
+    through a raw engine surfaces here as its status code."""
+    if not isinstance(handle, _Handle):
+        return PfacStatus.INVALID_HANDLE
+    if handle.matcher is None:
+        return PfacStatus.SUCCESS
+    try:
+        handle.matcher.flush_checks()
     except PfacError as e:
         return e.status
     except Exception:

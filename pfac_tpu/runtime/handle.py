@@ -138,6 +138,17 @@ class Matcher:
     def match_reduce_device(self, data_u8):
         return self._engine().match_reduce_device(data_u8)
 
+    def flush_checks(self) -> None:
+        """Validate any deferred device-path error flags (one device sync).
+
+        Engines that defer overflow checking (the Pallas sieve) raise
+        PfacError here if a previously returned device result was
+        incomplete; engines without deferred state are a no-op."""
+        for eng in self._engines.values():
+            flush = getattr(eng, "flush_checks", None)
+            if flush is not None:
+                flush()
+
     def stream(self, *, min_batch: int = 1 << 20):
         """A StreamMatcher over this handle: exact chunked matching with
         carry-over across chunk boundaries (see runtime/stream.py)."""

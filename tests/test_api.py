@@ -214,3 +214,73 @@ class TestDeviceApis:
         assert c == 5
         assert np.asarray(d_pos[0])[:c].tolist() == [0, 1, 2, 4, 6]
         assert np.asarray(d_ids[0])[:c].tolist() == [1, 3, 4, 4, 2]
+
+
+class TestDeferredErrorDiscipline:
+    """C-API calls must report device-path errors per call, like the
+    reference (PFAC/src/PFAC.cpp:843-876) — even though the raw engine
+    defers its overflow sync for throughput."""
+
+    def _overflowing_handle(self, monkeypatch):
+        import pfac_tpu.backends.pallas_sieve as S
+        from pfac_tpu.runtime import capi
+        from pfac_tpu.status import PfacStatus
+
+        # shrink heavy-round geometry so a tiny corpus overflows stage B:
+        # all positions of "a"*600 stay alive past depth 16 for the 20-byte
+        # pattern, exceeding capB = 3/4 * HEAVY_CAP within one round.
+        # The walk engine has no stage capacities, so also disable it to
+        # exercise the fallback's deferred-overflow machinery.
+        monkeypatch.setattr(S, "HEAVY_CAP", 64)
+        monkeypatch.setattr(S, "CAP_MID", 64)
+        monkeypatch.setattr(S, "build_walk_tables_gated", lambda *a: None)
+        h = [None]
+        assert capi.PFAC_create(h) == PfacStatus.SUCCESS
+        # force the sieve engine (interpret mode on CPU); AUTO would pick
+        # the XLA walker here, which has no deferred checks to exercise
+        assert capi.PFAC_setTextureMode(h[0], capi.PFAC_TEXTURE_ON) == PfacStatus.SUCCESS
+        import tempfile, os
+        fd, path = tempfile.mkstemp()
+        with os.fdopen(fd, "wb") as f:
+            f.write(b"a" * 20 + b"\n")
+        assert capi.PFAC_readPatternFromFile(h[0], path) == PfacStatus.SUCCESS
+        os.unlink(path)
+        h[0].matcher._engine()._cap = 32
+        return h[0]
+
+    def test_match_from_device_reports_overflow_same_call(self, monkeypatch):
+        import jax
+        import numpy as np
+
+        from pfac_tpu.runtime import capi
+        from pfac_tpu.status import PfacStatus
+
+        handle = self._overflowing_handle(monkeypatch)
+        d_input = jax.device_put(np.frombuffer(b"a" * 600, dtype=np.uint8))
+        d_out = []
+        st = capi.PFAC_matchFromDevice(handle, d_input, 600, d_out)
+        assert st == PfacStatus.INTERNAL_ERROR
+        assert d_out == []   # no incomplete result handed to the caller
+
+    def test_synchronize_flushes_raw_engine_calls(self, monkeypatch):
+        import jax
+        import numpy as np
+
+        from pfac_tpu.runtime import capi
+        from pfac_tpu.status import PfacStatus
+
+        handle = self._overflowing_handle(monkeypatch)
+        eng = handle.matcher._engine()
+        d_input = jax.device_put(np.frombuffer(b"a" * 600, dtype=np.uint8))
+        eng.match_device(d_input)            # raw engine: check deferred
+        assert capi.PFAC_synchronize(handle) == PfacStatus.INTERNAL_ERROR
+        assert capi.PFAC_synchronize(handle) == PfacStatus.SUCCESS  # drained
+
+    def test_synchronize_clean(self):
+        from pfac_tpu.runtime import capi
+        from pfac_tpu.status import PfacStatus
+
+        h = [None]
+        assert capi.PFAC_create(h) == PfacStatus.SUCCESS
+        assert capi.PFAC_synchronize(h[0]) == PfacStatus.SUCCESS
+        assert capi.PFAC_synchronize(None) == PfacStatus.INVALID_HANDLE

@@ -289,3 +289,30 @@ class TestCheckpointedAutomaton:
         data = b"xxqwertyhelloqw"
         expected = golden.match_dense(a, data)
         assert m.match(data).tolist() == expected.tolist()
+
+
+class TestTileGeometry:
+    def test_full_production_geometry_smoke(self):
+        # one smoke at the compiled path's (512,128) geometry; every other
+        # interpret test uses the small (64,128) tiles for suite speed
+        a = Automaton.from_patterns([b"AB", b"ABG", b"BEDE", b"ED"])
+        m = SieveMatcher(a, interpret=True, tile_rows=512)
+        assert m.match(b"ABEDEDABG").tolist() == [1, 3, 4, 0, 4, 0, 2, 0, 0]
+
+    def test_geometries_agree(self):
+        rng = np.random.default_rng(11)
+        pats = [b"ab", b"abc", b"abcd", b"dd", b"q"]
+        a = Automaton.from_patterns(pats)
+        data = bytes(rng.integers(97, 101, size=9000, dtype=np.uint8).tobytes())
+        expected = golden.match_dense(a, data)
+        for tr in (64, 128):
+            m = SieveMatcher(a, interpret=True, tile_rows=tr)
+            assert m.match(data).tolist() == expected.tolist(), tr
+
+    def test_bad_tile_rows_rejected(self):
+        from pfac_tpu.status import PfacError
+
+        a = Automaton.from_patterns([b"ab"])
+        m = SieveMatcher(a, interpret=True, tile_rows=48)
+        with pytest.raises(PfacError):
+            m.match(b"ababab")

@@ -149,3 +149,35 @@ class TestMultihostGlue:
         arr = multihost.put_host_shards(sm, local, total)
         assert arr.shape == (total,)
         assert np.array_equal(np.asarray(arr), local)
+
+
+class TestShardedDeviceReduce:
+    def test_sieve_reduce_matches_golden(self, mesh8):
+        # device-side per-shard compaction: ids/pos must equal the golden
+        # reduce, including matches that straddle shard boundaries
+        rng = np.random.default_rng(21)
+        pats = [b"wxyz!", b"wx", b"q", b"wxyzab"]
+        a = Automaton.from_patterns(pats)
+        sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
+        n = 5000
+        data = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8).tobytes())
+        shard = sm._shard_len(n)
+        for b in range(shard - 3, n - 8, shard):   # straddle boundaries
+            data[b:b + 6] = b"wxyzab"
+        data = bytes(data)
+        ids, pos, count = sm.match_reduce(data)
+        g_ids, g_pos, g_count = golden.reduce_result(golden.match_dense(a, data))
+        assert count == g_count
+        assert pos.tolist() == g_pos.tolist()
+        assert ids.tolist() == g_ids.tolist()
+        assert pos.dtype == np.int64
+
+    def test_reduce_cap_overflow_falls_back(self, mesh8):
+        a = Automaton.from_patterns([b"ab"])
+        sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True,
+                            reduce_cap=4)
+        data = b"ab" * 400                      # >4 matches per shard
+        ids, pos, count = sm.match_reduce(data)
+        g_ids, g_pos, g_count = golden.reduce_result(golden.match_dense(a, data))
+        assert (count, pos.tolist(), ids.tolist()) == (
+            g_count, g_pos.tolist(), g_ids.tolist())
