@@ -79,6 +79,37 @@ def main() -> None:
     data_dev = jax.device_put(data, dev)
 
     eng = m._engine()
+    # full-corpus parity gate: the ENTIRE timed corpus is verified against
+    # the vectorized oracle before any number is reported. The dense
+    # result stays on device (the tunnel moves ~11 MB/s); a position-
+    # weighted fingerprint + an exact 4 MB slice compare stand in for the
+    # 512 MB transfer — any divergence perturbs the fingerprint.
+    import jax.numpy as jnp
+
+    out_dev = eng.match_device(data_dev)
+    if hasattr(eng, "flush_checks"):
+        eng.flush_checks()
+
+    @jax.jit
+    def fingerprint(r):
+        r = r[:n].astype(jnp.uint32)
+        w = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        return jnp.stack([jnp.sum(r), jnp.sum(r * w),
+                          jnp.sum(r > 0).astype(jnp.uint32)])
+
+    got_fp = np.asarray(fingerprint(out_dev), dtype=np.uint64)
+    expected_full = golden.match_dense_batch(automaton, data)
+    ew = (np.arange(n, dtype=np.uint64) * 2654435761) & 0xFFFFFFFF
+    ef = expected_full.astype(np.uint64)
+    exp_fp = np.array([ef.sum() & 0xFFFFFFFF,
+                       ((ef * ew) & 0xFFFFFFFF).sum() & 0xFFFFFFFF,
+                       int((ef > 0).sum()) & 0xFFFFFFFF], dtype=np.uint64)
+    assert np.array_equal(got_fp & 0xFFFFFFFF, exp_fp), \
+        f"full-corpus parity fingerprint failed: {got_fp} != {exp_fp}"
+    sl = 4 << 20
+    assert np.array_equal(np.asarray(out_dev[:sl]), expected_full[:sl]), \
+        "slice parity failed"
+    del expected_full
     out = eng.match_device(data_dev)          # compile + warmup
     _ = np.asarray(out[:8])
     if hasattr(eng, "flush_checks"):

@@ -401,20 +401,23 @@ def prepare_windows(data2d_u8: jax.Array, pos: jax.Array, w_raw: int):
     kernel: (cap,) positions -> (G*w_raw*8, 128) int32 words where word w
     of survivor g*1024 + s*128 + l sits at row (g*w_raw + w)*8 + s.
 
-    Zero-copy view of the corpus (bitcast to LE words); out-of-range rows
-    clamp — the resulting garbage bytes are masked by depth in-kernel."""
+    Rows are gathered as uint8 and wordified AFTER the gather, so every
+    intermediate is survivor-proportional (a corpus-wide u8->u32 bitcast
+    pads 32x on TPU — 16 GB of HBM for a 128 MB corpus). Out-of-range
+    rows clamp — the resulting garbage bytes are masked by depth
+    in-kernel."""
     cap = pos.shape[0]
     g = cap // GROUP
-    words = jax.lax.bitcast_convert_type(
-        data2d_u8.reshape(-1, 4), jnp.uint32)
-    rows2d = words.reshape(-1, ROW_WORDS)
+    rows2d = data2d_u8.reshape(-1, ROW_BYTES)                # (nr, 64) u8
     nr = rows2d.shape[0]
     r0 = jnp.clip(pos >> 6, 0, nr - 1)
     parts = [
         jnp.take(rows2d, jnp.minimum(r0 + i, nr - 1), axis=0)
         for i in range(w_raw // ROW_WORDS)
     ]
-    raw = jnp.concatenate(parts, axis=1).astype(jnp.int32)   # (cap, w_raw)
+    b = jnp.concatenate(parts, axis=1).astype(jnp.int32)     # (cap, 4*w_raw)
+    raw = (b[:, 0::4] | (b[:, 1::4] << 8)
+           | (b[:, 2::4] << 16) | (b[:, 3::4] << 24))        # LE words
     return (raw.reshape(g, 8, LANES, w_raw)
             .transpose(0, 3, 1, 2)
             .reshape(g * w_raw * 8, LANES))

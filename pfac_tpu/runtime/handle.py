@@ -108,16 +108,39 @@ class Matcher:
         self.placement = _coerce(PlacementMode, placement)
 
     # -------------------------------------------------------------- match
+    #: device engines address positions as int32; larger inputs stream
+    _CHUNK_LIMIT = (1 << 31) - (1 << 20)
+
     def match(self, data) -> np.ndarray:
         """`PFAC_matchFromHost` analog: bytes in, int32[N] of pattern IDs out
-        (result[i] = longest pattern starting at byte i, 0 if none)."""
-        if _len_of(data) == 0:
+        (result[i] = longest pattern starting at byte i, 0 if none).
+
+        Inputs beyond the device engines' int32 position range (~2 GiB)
+        are routed through StreamMatcher automatically — exact results,
+        one carry of max_pattern_len-1 bytes between chunks."""
+        n = _len_of(data)
+        if n == 0:
             return np.zeros(0, dtype=np.int32)
         if self.platform == Platform.CPU:
             from ..backends import golden
             mode = "dense" if self.perf_mode == PerfMode.DENSE else "hash"
             return golden.match(self.automaton, data, mode)
+        if n > self._CHUNK_LIMIT:
+            return self._match_chunked(data, n)
         return self._engine().match(data)
+
+    _chunk_step = 1 << 30     # feed size for the auto-chunked path
+
+    def _match_chunked(self, data, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.int32)
+        step = self._chunk_step
+        sm = self.stream(min_batch=min(1 << 20, step))
+        for off in range(0, n, step):
+            start, ids = sm.feed(data[off: off + step])
+            out[start: start + ids.shape[0]] = ids
+        start, ids = sm.finish()
+        out[start: start + ids.shape[0]] = ids
+        return out
 
     def match_device(self, data_u8):
         """`PFAC_matchFromDevice` analog: device uint8 array in, device

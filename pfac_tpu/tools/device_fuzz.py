@@ -26,9 +26,9 @@ def _random_case(rng: np.random.Generator, heavy: bool = False):
             seen.add(p)
             pats.append(p)
     if heavy:
-        # virus-dense: the corpus is mostly pattern content, driving the
-        # survivor count past the heavy threshold (CAP_MID)
-        n = int(rng.integers(50_000, 250_000))
+        # virus-dense: the corpus is mostly pattern content; sized so the
+        # survivor count exceeds CAP_MID (64K) with production constants
+        n = int(rng.integers(1_500_000, 3_000_000))
         chunks, sz = [], 0
         while sz < n:
             p = pats[int(rng.integers(0, len(pats)))]
@@ -51,19 +51,13 @@ def _random_case(rng: np.random.Generator, heavy: bool = False):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cases", type=int, default=20)
+    ap.add_argument("--cases", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sharded", action="store_true",
                     help="also fuzz the sharded path on the local mesh")
     ap.add_argument("--heavy", action="store_true",
-                    help="virus-dense corpora (exercises the heavy tail)")
+                    help="ALL cases virus-dense (default: every 5th case)")
     args = ap.parse_args(argv)
-
-    if args.heavy:
-        # shrink the heavy threshold so modest corpora exercise the
-        # in-program heavy rounds (must happen before pipelines build)
-        import pfac_tpu.backends.pallas_sieve as _S
-        _S.CAP_MID = 1 << 12
 
     import jax
 
@@ -74,17 +68,27 @@ def main(argv=None) -> int:
     print(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(args.seed)
     for case in range(args.cases):
-        pats, data = _random_case(rng, heavy=args.heavy)
+        # every 5th case is virus-dense at a size whose survivor count
+        # genuinely exceeds the heavy threshold (CAP_MID) — the compiled
+        # heavy/walker rounds run with NO monkeypatched constants
+        heavy = args.heavy or case % 5 == 4
+        pats, data = _random_case(rng, heavy=heavy)
         a = Automaton.from_patterns(pats)
         m = Matcher(automaton=a)
         got = m.match(data)
-        exp = golden.match_dense(a, data)
+        exp = golden.match_dense_batch(a, data)
         if not np.array_equal(got, exp):
             bad = np.nonzero(got != exp)[0][:5]
             print(f"MISMATCH case={case} seed={args.seed} "
                   f"k={len(pats)} n={len(data)} at {bad.tolist()}")
             for b in bad:
                 print(f"  pos {b}: got {got[b]} expected {exp[b]}")
+            return 1
+        ids, pos, cnt = m.match_reduce(data)
+        gi, gp, gc = golden.reduce_result(exp)
+        if not (cnt == gc and np.array_equal(pos[:cnt], gp)
+                and np.array_equal(ids[:cnt], gi)):
+            print(f"REDUCE MISMATCH case={case} seed={args.seed}")
             return 1
         if args.sharded:
             from ..dist.sharding import ShardedMatcher
@@ -94,8 +98,9 @@ def main(argv=None) -> int:
                 print(f"SHARDED MISMATCH case={case} seed={args.seed}")
                 return 1
         nm = int((exp > 0).sum())
-        print(f"case {case:3d}: ok  engine={type(m._engine()).__name__} "
-              f"k={len(pats)} n={len(data)} matches={nm}")
+        print(f"case {case:3d}: ok{' heavy' if heavy else ''}  "
+              f"engine={type(m._engine()).__name__} "
+              f"k={len(pats)} n={len(data)} matches={nm}", flush=True)
     print("all cases passed")
     return 0
 

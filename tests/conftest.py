@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: pipeline programs (sieve kernel + walker +
+# compaction branches) dominate suite wall time on first compile; repeat
+# runs hit the cache and the suite drops to interpretation cost only
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/pfac_tpu_test_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 import pytest

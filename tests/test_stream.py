@@ -62,3 +62,22 @@ class TestStreamMatcher:
         sm.finish()
         with pytest.raises(PfacError):
             sm.finish()
+
+
+class TestAutoChunking:
+    def test_match_routes_big_inputs_through_stream(self, monkeypatch):
+        # shrink the limit + feed step so the chunked path runs at test
+        # scale; the result must equal the direct engine byte-for-byte
+        from pfac_tpu import Matcher
+
+        m = Matcher([b"wxyz!", b"wx", b"q"])
+        rng = np.random.default_rng(7)
+        data = bytearray(rng.integers(97, 123, size=9000, dtype=np.uint8).tobytes())
+        for off in range(500, 8500, 700):       # incl. chunk-boundary straddles
+            data[off:off + 5] = b"wxyz!"
+        data = bytes(data)
+        direct = m.match(data)
+        monkeypatch.setattr(Matcher, "_CHUNK_LIMIT", 4096)
+        monkeypatch.setattr(Matcher, "_chunk_step", 1500)
+        routed = m.match(data)                  # > limit -> chunked path
+        assert routed.tolist() == direct.tolist()
