@@ -4,25 +4,33 @@ Isolates: sieve kernel alone, old-tail pipeline, walker pipeline,
 compaction, window prep, and the walker kernel, all with amortized
 chained timing (see DESIGN_NOTES.md measurement methodology).
 """
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 CORPUS_MB = 128
 
 
+def _barrier(out):
+    x = jax.tree.leaves(out)[0]
+    _ = np.asarray(x[tuple(slice(0, 1) for _ in x.shape)])  # 1-elem D2H
+
+
 def chained(fn, d, k=8, outer=3):
-    out = fn(d)
-    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _barrier(fn(d))
 
     def once(j):
         t0 = time.perf_counter()
         o = None
         for _ in range(j):
             o = fn(d)
-        _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
+        _barrier(o)
         return time.perf_counter() - t0
 
     t1 = min(once(1) for _ in range(outer + 1))
@@ -31,6 +39,9 @@ def chained(fn, d, k=8, outer=3):
 
 
 def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/pfac_tpu_xla")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     from bench import snort_like_patterns
     from pfac_tpu import Automaton
     import pfac_tpu.backends.pallas_sieve as S

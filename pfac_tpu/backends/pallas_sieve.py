@@ -309,8 +309,10 @@ def _make_kernel(tables: SieveTables, grid: int,
             m3_words, m3_keyw = refs[i], refs[i + 1]
             i += 2
         if alive is not None:
-            al_disp, al_words = refs[i], refs[i + 1]
-            i += 2
+            al_disp = None
+            if not alive.nodisp:
+                al_disp = refs[i]; i += 1
+            al_words = refs[i]; i += 1
         out_ref, bits_ref = refs[i], refs[i + 1]
         k2_ref, k3_ref, k4_ref = refs[i + 2], refs[i + 3], refs[i + 4]
 
@@ -667,7 +669,8 @@ def _build_heavy_all(automaton: Automaton, npad: int):
 def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                    npad: int, cap: int, interpret: bool = False,
                    kernel_only: bool = False, aligned: bool = False,
-                   tile_rows: int = TILE_ROWS, walk_tables=None):
+                   tile_rows: int = TILE_ROWS, walk_tables=None,
+                   force_branch: int | None = None):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
@@ -773,7 +776,6 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             # (longest match wins).
             from .pallas_walk import GROUP, build_walker
 
-            out2d = out.reshape(-1, LANES)
             walkfns: dict = {}
 
             def get_walkfn(cw):
@@ -783,8 +785,14 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                 return walkfns[cw]
 
             def walker_round(walkfn, cw, m, off):
+                # m123 values come from the BRANCH ARGUMENT m, not a
+                # closed-over alias of `out`: a second captured 512 MB
+                # array across the lax.switch boundary costs XLA ~3 ms of
+                # defensive copies per dispatch. Safe: each rank is
+                # processed exactly once, so this round's positions still
+                # hold the kernel's depth-1..3 values in m.
                 pos, _, m123 = _compact(bits, cw, npad, rank_offset=off,
-                                        vals2d=out2d)
+                                        vals2d=m.reshape(-1, LANES))
                 walk = walkfn(walk_args, data2d, pos, n_arr)
                 merged = jnp.where(walk > 0, walk, m123)
                 return m.at[pos].set(merged, mode="drop")
@@ -842,6 +850,9 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
 
         # 0: light (typical corpora), 1: mid, 2: heavy rounds — one program
         # handles every survivor density; no host-side capacity retries
+        if force_branch is not None:        # profiling/debug only
+            result, overflow = branches[force_branch](matches)
+            return result, count, overflow
         idx = ((count > cap).astype(jnp.int32)
                + (count > CAP_MID).astype(jnp.int32))
         result, overflow = jax.lax.switch(idx, branches, matches)

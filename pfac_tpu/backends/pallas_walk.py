@@ -21,11 +21,12 @@ depth and each step probes only that depth's (tiny) edge set.
   (~40 MB) never could.
 
 * **Survivor windows via row gathers + in-kernel alignment.** Each
-  survivor's byte window is fetched with 64-byte-row gathers (the only
-  fast gather shape on this chip; see DESIGN_NOTES.md) with NO host/XLA
-  realignment: the kernel aligns each lane's window once with a 16-way
-  row select into VMEM scratch, then every step reads statically-indexed
-  scratch rows and does a 4-way byte select.
+  survivor's byte window is fetched with corpus-tile-width (128-byte)
+  row gathers — the only fast gather shape on this chip, and the only
+  row width that avoids an XLA relayout of the whole corpus — with NO
+  host/XLA realignment: the kernel aligns each lane's window once with a
+  32-way row select into VMEM scratch, then every step reads
+  statically-indexed scratch rows and does a 4-way byte select.
 
 * **End-of-input masking by depth, not bytes.** Gathered windows may
   carry garbage past the input's end; instead of byte sentinels, each
@@ -59,7 +60,10 @@ from .pallas_sieve import (
 )
 
 DEAD = 0xFFFF              # never a valid per-depth compact index
-ROW_BYTES = 64             # window gather granularity (16 int32 words)
+# window gather granularity = the corpus tile width (128 bytes): the u8
+# (rows, 128) array feeds jnp.take directly — ANY other row width forces
+# XLA to re-lay-out (and lane-pad) the whole corpus per dispatch
+ROW_BYTES = 128
 ROW_WORDS = ROW_BYTES // 4
 GROUP = 8 * LANES          # survivors per kernel grid step
 
@@ -408,9 +412,9 @@ def prepare_windows(data2d_u8: jax.Array, pos: jax.Array, w_raw: int):
     in-kernel."""
     cap = pos.shape[0]
     g = cap // GROUP
-    rows2d = data2d_u8.reshape(-1, ROW_BYTES)                # (nr, 64) u8
+    rows2d = data2d_u8                                       # (nr, 128) u8
     nr = rows2d.shape[0]
-    r0 = jnp.clip(pos >> 6, 0, nr - 1)
+    r0 = jnp.clip(pos >> 7, 0, nr - 1)
     parts = [
         jnp.take(rows2d, jnp.minimum(r0 + i, nr - 1), axis=0)
         for i in range(w_raw // ROW_WORDS)

@@ -442,3 +442,4 @@ def lookup_nodisp(t: ChdTable, key: int) -> int:
     lg_r = int(np.log2(t.num_slots))
     prod = np.uint32((int(key) * int(t.nodisp_mul)) & 0xFFFFFFFF)
     return int(prod >> np.uint32(32 - lg_r))
+

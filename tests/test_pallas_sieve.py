@@ -316,3 +316,4 @@ class TestTileGeometry:
         m = SieveMatcher(a, interpret=True, tile_rows=48)
         with pytest.raises(PfacError):
             m.match(b"ababab")
+
