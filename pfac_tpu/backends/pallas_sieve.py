@@ -433,20 +433,33 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     blk, prev = _rank_rows(bcum, q)
     rank = q - prev
     rows = jnp.take(bits, blk, axis=0)                         # (cap,128) row gather
-    sbit = jnp.arange(8, dtype=jnp.int32)
-    exp = (rows[:, None, :] >> sbit[None, :, None]) & 1        # (cap,8,128)
-    expf = exp.reshape(cap, 1024)
-    rcum = jnp.cumsum(expf, axis=1)
-    within = jnp.argmax(rcum >= rank[:, None], axis=1).astype(jnp.int32)
+    # localize the rank-th set bit with popcount arithmetic — expanding
+    # to (cap, 1024) bits + cumsum costs ~3 ms per 64K round in HBM
+    # intermediates; this stays (cap, 128)
+    pc = jax.lax.population_count(rows)
+    pcc = jnp.cumsum(pc, axis=1)                               # per-lane cum
+    lane = jnp.sum((pcc < rank[:, None]).astype(jnp.int32), axis=1)
+    lane = jnp.minimum(lane, LANES - 1)
+    lane_iota = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    onehot_l = lane_iota == lane[:, None]
+    prevc = jnp.sum(jnp.where(lane_iota == (lane - 1)[:, None], pcc, 0),
+                    axis=1)                                    # 0 at lane 0
+    word = jnp.sum(jnp.where(onehot_l, rows, 0), axis=1)
+    rbit = rank - prevc                                        # 1..8
+    c = jnp.zeros(cap, jnp.int32)
+    sbit = jnp.full(cap, 0, jnp.int32)
+    for s in range(8):
+        bit = (word >> s) & 1
+        c = c + bit
+        sbit = jnp.where((bit == 1) & (c == rbit), s, sbit)
+    within = sbit * 128 + lane
     pos = blk * 1024 + within
     pos = jnp.where(q <= count, pos, npad)
     if vals2d is None:
         return pos, count
-    vrow = jnp.minimum(blk * 8 + (within >> 7), vals2d.shape[0] - 1)
+    vrow = jnp.minimum(blk * 8 + sbit, vals2d.shape[0] - 1)
     vrows = jnp.take(vals2d, vrow, axis=0)                     # (cap,128)
-    lane = within & 127
-    onehot = (jnp.arange(LANES, dtype=jnp.int32)[None, :] == lane[:, None])
-    vals = jnp.sum(jnp.where(onehot, vrows, 0), axis=1)
+    vals = jnp.sum(jnp.where(onehot_l, vrows, 0), axis=1)
     vals = jnp.where(q <= count, vals, 0)
     return pos, count, vals
 
@@ -795,35 +808,32 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                                         vals2d=m.reshape(-1, LANES))
                 walk = walkfn(walk_args, data2d, pos, n_arr)
                 merged = jnp.where(walk > 0, walk, m123)
-                return m.at[pos].set(merged, mode="drop")
+                return pos, merged
 
-            def walker_tail(c):
-                # survivor count never exceeds npad, so clamp capacities
-                # to it — small inputs get small walker grids
-                cw = min(-(-c // GROUP) * GROUP, npad)
-                walkfn = get_walkfn(cw)
-
-                def branch(m):
-                    return walker_round(walkfn, cw, m, 0), jnp.int32(0)
-                return branch
+            # NO density switch: one always-on light round (ranks
+            # [0, cl)) plus a while_loop of heavy rounds that runs ZERO
+            # iterations for typical corpora. A lax.switch here cost
+            # ~1.5 ms/dispatch in 512 MB branch-boundary copies; the
+            # straight-line form pays only one in-place scatter.
+            cl = min(-(-cap // GROUP) * GROUP, npad)
+            pos0, merged0 = walker_round(get_walkfn(cl), cl, matches, 0)
+            result = matches.at[pos0].set(merged0, mode="drop")
 
             hc = min(-(-HEAVY_CAP // GROUP) * GROUP, npad)
             heavy_walkfn = get_walkfn(hc)
 
-            def heavy_branch(m):
-                def cond(s):
-                    i, _ = s
-                    return i * hc < count
+            def cond(s):
+                i, _ = s
+                return cl + i * hc < count
 
-                def body(s):
-                    i, result = s
-                    return i + 1, walker_round(heavy_walkfn, hc, result,
-                                               i * hc)
+            def body(s):
+                i, res = s
+                pos, merged = walker_round(heavy_walkfn, hc, res,
+                                           cl + i * hc)
+                return i + 1, res.at[pos].set(merged, mode="drop")
 
-                _, result = jax.lax.while_loop(cond, body, (jnp.int32(0), m))
-                return result, jnp.int32(0)
-
-            branches = [walker_tail(cap), walker_tail(CAP_MID), heavy_branch]
+            _, result = jax.lax.while_loop(cond, body, (jnp.int32(0), result))
+            return result, count, jnp.int32(0)
         else:
             # Fallback staged XLA walkers (elementwise gathers): only for
             # rulesets the walk tables can't encode (pattern IDs or
