@@ -436,14 +436,17 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     # localize the rank-th set bit with popcount arithmetic — expanding
     # to (cap, 1024) bits + cumsum costs ~3 ms per 64K round in HBM
     # intermediates; this stays (cap, 128)
+    from .xla import _lane_prefix
+
     pc = jax.lax.population_count(rows)
-    pcc = jnp.cumsum(pc, axis=1)                               # per-lane cum
-    lane = jnp.sum((pcc < rank[:, None]).astype(jnp.int32), axis=1)
+    pcc = _lane_prefix(pc)                     # MXU prefix along lanes, f32
+    rank_f = rank[:, None].astype(jnp.float32)
+    lane = jnp.sum((pcc < rank_f).astype(jnp.int32), axis=1)
     lane = jnp.minimum(lane, LANES - 1)
     lane_iota = jnp.arange(LANES, dtype=jnp.int32)[None, :]
     onehot_l = lane_iota == lane[:, None]
     prevc = jnp.sum(jnp.where(lane_iota == (lane - 1)[:, None], pcc, 0),
-                    axis=1)                                    # 0 at lane 0
+                    axis=1).astype(jnp.int32)                  # 0 at lane 0
     word = jnp.sum(jnp.where(onehot_l, rows, 0), axis=1)
     rbit = rank - prevc                                        # 1..8
     c = jnp.zeros(cap, jnp.int32)

@@ -350,22 +350,45 @@ class XlaMatcher:
         return host_reduce(self.match(data))
 
 
+@functools.lru_cache(maxsize=1)
+def _prefix_mat():
+    return np.triu(np.ones((LANES, LANES), np.float32))
+
+
+def _lane_prefix(x2d: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along the 128-lane minor axis, as ONE MXU
+    matmul against a triangular ones matrix. XLA's cumsum along the
+    minor axis lowers to a reduce-window on TPU (~1-2 ms per 64K rows);
+    the matmul is ~0.05 ms. Returns f32 (exact for sums < 2^24)."""
+    return jnp.dot(x2d.astype(jnp.float32), jnp.asarray(_prefix_mat()),
+                   preferred_element_type=jnp.float32)
+
+
 def _rank_rows(bcum: jax.Array, q: jax.Array):
     """searchsorted(bcum, q) + the preceding cumulative value, built from
     row gathers and compare-sums only. The naive per-rank binary search
     costs ~log2(nb) ELEMENTWISE gathers per rank (~9 ms per 64K-rank
-    round on this chip); this two-level form is pure row-gather + VPU
-    compare traffic (~0.3 ms).
+    round on this chip); this recursive compare-sum form is pure
+    row-gather + VPU compare traffic (~0.2 ms per 128x level).
 
     Returns (row, prev) with row = first index where bcum[row] >= q
     (clamped to nb-1) and prev = bcum[row-1] (0 when row == 0)."""
     nb = bcum.shape[0]
+    if nb <= LANES:
+        rows = jnp.broadcast_to(bcum[None, :], (q.shape[0], nb))
+        rib = jnp.sum((rows < q[:, None]).astype(jnp.int32), axis=1)
+        row = jnp.minimum(rib, nb - 1)
+        prev = jnp.sum(
+            jnp.where(jnp.arange(nb, dtype=jnp.int32)[None, :]
+                      == (rib - 1)[:, None], rows, 0), axis=1)
+        return row, prev
     nc = -(-nb // LANES)
     pad = jnp.broadcast_to(bcum[-1:], (nc * LANES - nb,))
     b2 = jnp.concatenate([bcum, pad]).reshape(nc, LANES)
     ccum = b2[:, -1]                                    # (nc,) block ends
-    cblk = jnp.sum((ccum[None, :] < q[:, None]).astype(jnp.int32), axis=1)
-    cblk = jnp.minimum(cblk, nc - 1)
+    # recurse on the block-end array: a flat (cap, nc) compare matrix
+    # materializes ~1 GB when nc is large (512K-row reduce tables)
+    cblk, coarse_prev = _rank_rows(ccum, q)
     rows = jnp.take(b2, cblk, axis=0)                   # (cap, LANES)
     rib = jnp.sum((rows < q[:, None]).astype(jnp.int32), axis=1)
     rib = jnp.minimum(rib, LANES - 1)
@@ -373,9 +396,6 @@ def _rank_rows(bcum: jax.Array, q: jax.Array):
     lane_prev = jnp.sum(
         jnp.where(jnp.arange(LANES, dtype=jnp.int32)[None, :]
                   == (rib - 1)[:, None], rows, 0), axis=1)
-    coarse_prev = jnp.sum(
-        jnp.where(jnp.arange(nc, dtype=jnp.int32)[None, :]
-                  == (cblk - 1)[:, None], ccum[None, :], 0), axis=1)
     prev = jnp.where(rib > 0, lane_prev, coarse_prev)   # both 0 at row 0
     return row, prev
 
@@ -421,8 +441,10 @@ def _reduce_rowgather(match_padded: jax.Array, *, cap: int = 1 << 16):
         row, prev = _rank_rows(bcum, q)
         rank = q - prev
         vals = jnp.take(m2d, row, axis=0)            # (cap,128) row gather
-        rcum = jnp.cumsum((vals > 0).astype(jnp.int32), axis=1)
-        within = jnp.argmax(rcum >= rank[:, None], axis=1).astype(jnp.int32)
+        rcum = _lane_prefix(vals > 0)                # MXU prefix, f32
+        within = jnp.sum((rcum < rank[:, None].astype(jnp.float32))
+                         .astype(jnp.int32), axis=1)
+        within = jnp.minimum(within, 127)
         cid = jnp.sum(jnp.where(jnp.arange(128, dtype=jnp.int32)[None, :]
                                 == within[:, None], vals, 0), axis=1)
         cpos = row * 128 + within

@@ -52,7 +52,7 @@ def _compact_capped(m: jax.Array, cap: int):
     (id, pos) pairs, positions ascending: row-gather rank search only
     (see xla._rank_rows). Returns (ids[cap], pos[cap], count) — entries
     past count are zero; count may exceed cap (caller must detect)."""
-    from ..backends.xla import _rank_rows
+    from ..backends.xla import _lane_prefix, _rank_rows
 
     m2d = m.reshape(-1, 128)
     counts = (m2d > 0).sum(axis=1, dtype=jnp.int32)
@@ -62,8 +62,10 @@ def _compact_capped(m: jax.Array, cap: int):
     row, prev = _rank_rows(bcum, q)
     rank = q - prev
     vals = jnp.take(m2d, row, axis=0)                  # (cap,128) row gather
-    rcum = jnp.cumsum((vals > 0).astype(jnp.int32), axis=1)
-    within = jnp.argmax(rcum >= rank[:, None], axis=1).astype(jnp.int32)
+    rcum = _lane_prefix(vals > 0)                      # MXU prefix, f32
+    within = jnp.minimum(
+        jnp.sum((rcum < rank[:, None].astype(jnp.float32))
+                .astype(jnp.int32), axis=1), 127)
     lane = jnp.arange(128, dtype=jnp.int32)
     cid = jnp.sum(jnp.where(lane[None, :] == within[:, None], vals, 0),
                   axis=1)
