@@ -48,7 +48,16 @@ def snort_like_patterns(seed: int = 42, k: int = 2000) -> list[bytes]:
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache: the remote-compile helper costs ~100 s
+    # per program on this runtime; cache hits skip part of that
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/pfac_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from pfac_tpu import Automaton
     from pfac_tpu.backends import golden

@@ -204,15 +204,15 @@ class TestHeavyRegime:
         monkeypatch.setattr(S, "CAP_MID", 256)
         rng = np.random.default_rng(5)
         pats = []
-        for _ in range(40):
-            ln = int(np.clip(rng.gamma(2.2, 9.0) + 4, 4, 60))
+        for _ in range(20):
+            ln = int(np.clip(rng.gamma(2.2, 9.0) + 4, 4, 40))
             pats.append(bytes(rng.integers(97, 103, size=ln).astype(np.uint8)))
         pats = list(dict.fromkeys(pats))
         a = Automaton.from_patterns(pats)
         m = SieveMatcher(a, interpret=True)
         m._cap = 64
-        chunks = [pats[int(rng.integers(0, len(pats)))] for _ in range(400)]
-        data = b"".join(chunks)[:8000]
+        chunks = [pats[int(rng.integers(0, len(pats)))] for _ in range(300)]
+        data = b"".join(chunks)[:3500]
         expected = golden.match_dense(a, data)
         got = m.match(data)
         assert np.array_equal(got, expected)
