@@ -313,6 +313,9 @@ def _nrefs(p: WProbe | None) -> int:
     return 2 if p.nodisp else 3
 
 
+_EXIT_BLOCK = 4            # steps per early-exit check (8 bytes of depth)
+
+
 def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
                       interpret: bool = False):
     t = tables
@@ -329,7 +332,7 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
         entry_r = take(t.entry)
         entryf_r = take(t.entry_final)
         step_r = [(take(s.main), take(s.odd), take(s.even)) for s in t.steps]
-        out_ref, win = refs[i], refs[i + 1]
+        out_ref, win, st, mt = refs[i], refs[i + 1], refs[i + 2], refs[i + 3]
 
         pos = pos_ref[:]                       # (8,128) int32 positions
         n = n_ref[0, 0]
@@ -338,14 +341,20 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
         wv = o >> 2                            # word offset within raw rows
         ob = o & 3                             # byte offset within word 0
 
-        # ---- align each lane's window once: win[w] = raw[wv + w]
-        # (16-way static-row select; rolls can't shift per-lane)
-        for w in range(w_out):
-            acc = raw_ref[w * 8:(w + 1) * 8, :]
-            for s in range(1, ROW_WORDS):
-                cand = raw_ref[(w + s) * 8:(w + s + 1) * 8, :]
-                acc = jnp.where(wv == s, cand, acc)
-            win[w * 8:(w + 1) * 8, :] = acc
+        # lazily align window rows (win[w] = raw[wv + w], a 32-way
+        # static-row select per word): each early-exit block aligns only
+        # the rows it actually reaches, so vregs whose lanes all die
+        # shallow never pay for the deep window
+        aligned = [0]
+
+        def ensure(w_hi):
+            for w in range(aligned[0], min(w_hi, w_out)):
+                acc = raw_ref[w * 8:(w + 1) * 8, :]
+                for s in range(1, ROW_WORDS):
+                    cand = raw_ref[(w + s) * 8:(w + s + 1) * 8, :]
+                    acc = jnp.where(wv == s, cand, acc)
+                win[w * 8:(w + 1) * 8, :] = acc
+            aligned[0] = max(aligned[0], min(w_hi, w_out))
 
         def byte_at(j):
             """window byte j (data[pos + j]), via 2 static scratch rows +
@@ -360,34 +369,58 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
             r = jnp.where(sh == 3, wsel >> 24, r)
             return r & 0xFF
 
+        ensure(2)
         b0, b1, b2, b3 = byte_at(0), byte_at(1), byte_at(2), byte_at(3)
         key4 = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
         ok4 = maxd > 3
         hit, idx4 = _probe(t.entry, entry_r, key4, interpret)
-        state = jnp.where(hit & ok4, idx4, DEAD)
+        st[:] = jnp.where(hit & ok4, idx4, DEAD)
         match = jnp.zeros((8, LANES), jnp.int32)
         if t.entry_final is not None:
             fh, pid = _probe(t.entry_final, entryf_r, key4, interpret)
             match = jnp.where(fh & ok4, pid, match)
+        mt[:] = match
 
-        for s, (main_r, odd_r, even_r) in zip(t.steps, step_r):
-            d = s.depth
-            c1 = byte_at(d)
-            if s.odd is not None:
-                oh, pid = _probe(s.odd, odd_r, (state << 8) | c1, interpret)
-                match = jnp.where(oh & (maxd > d), pid, match)
-            if s.main is None:
-                break                          # no deeper states exist
-            c2 = byte_at(d + 1)
-            mkey = (state << 16) | (c1 << 8) | c2
-            mh, nxt = _probe(s.main, main_r, mkey, interpret)
-            mh = mh & (maxd > d + 1)
-            if s.even is not None:
-                eh, pid = _probe(s.even, even_r, mkey, interpret)
-                match = jnp.where(eh & (maxd > d + 1), pid, match)
-            state = jnp.where(mh, nxt, DEAD)
+        def run_block(blk):
+            state, match = st[:], mt[:]
+            for s, (main_r, odd_r, even_r) in blk:
+                d = s.depth
+                c1 = byte_at(d)
+                if s.odd is not None:
+                    oh, pid = _probe(s.odd, odd_r, (state << 8) | c1,
+                                     interpret)
+                    match = jnp.where(oh & (maxd > d), pid, match)
+                if s.main is None:
+                    break                      # no deeper states exist
+                c2 = byte_at(d + 1)
+                mkey = (state << 16) | (c1 << 8) | c2
+                mh, nxt = _probe(s.main, main_r, mkey, interpret)
+                mh = mh & (maxd > d + 1)
+                if s.even is not None:
+                    eh, pid = _probe(s.even, even_r, mkey, interpret)
+                    match = jnp.where(eh & (maxd > d + 1), pid, match)
+                state = jnp.where(mh, nxt, DEAD)
+            st[:] = state
+            mt[:] = match
 
-        out_ref[:] = match
+        steps = list(zip(t.steps, step_r))
+        for bi in range(0, len(steps), _EXIT_BLOCK):
+            blk = steps[bi: bi + _EXIT_BLOCK]
+            j_hi = blk[-1][0].depth + 1
+            w_hi = (j_hi >> 2) + 2
+            if bi == 0:
+                ensure(w_hi)
+                run_block(blk)
+            else:
+                # all-dead vregs skip the rest of the walk: aliveness is
+                # monotone, so a skipped block implies every later block
+                # also skips — the lazy aligns inside stay consistent
+                @pl.when(jnp.any(st[:] != DEAD))
+                def _(blk=blk, w_hi=w_hi):
+                    ensure(w_hi)
+                    run_block(blk)
+
+        out_ref[:] = mt[:]
 
     return kernel
 
@@ -459,7 +492,9 @@ def build_walker(tables: WalkTables, *, cap: int, interpret: bool = False):
             in_specs=in_specs,
             out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((w_out * 8, LANES), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((w_out * 8, LANES), jnp.int32),
+                            pltpu.VMEM((8, LANES), jnp.int32),   # state
+                            pltpu.VMEM((8, LANES), jnp.int32)],  # match
             interpret=interpret,
         )(n_arr.reshape(1, 1), pos2d, raw, *walk_args)
         return out.reshape(-1)
