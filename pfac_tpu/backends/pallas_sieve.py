@@ -416,7 +416,8 @@ def _make_kernel(tables: SieveTables, grid: int,
 # --------------------------------------------------------------------------
 
 def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
-             vals2d: jax.Array | None = None):
+             vals2d: jax.Array | None = None,
+             bcum: jax.Array | None = None):
     """bits: (nb, 128) per-row-group alive bitmaps (bit s of lane j =
     position group*1024 + s*128 + j). Returns (pos[cap], count) for
     survivor ranks (rank_offset, rank_offset + cap]; padding entries hold
@@ -426,8 +427,9 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     each survivor position (row gather + one-hot lane pick; no element
     gathers) — the walker branches use this to carry the kernel's exact
     depth-1..3 match through the merge."""
-    counts = jax.lax.population_count(bits).sum(axis=1)        # (nb,)
-    bcum = jnp.cumsum(counts)
+    if bcum is None:
+        counts = jax.lax.population_count(bits).sum(axis=1)    # (nb,)
+        bcum = jnp.cumsum(counts)
     count = bcum[-1]
     q = jnp.arange(1, cap + 1, dtype=jnp.int32) + rank_offset
     blk, prev = _rank_rows(bcum, q)
@@ -781,7 +783,8 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             return matches, bits
         if not has_alive:
             return matches, jnp.int32(0), jnp.int32(0)
-        count = jnp.sum(jax.lax.population_count(bits)).astype(jnp.int32)
+        bcum = jnp.cumsum(jax.lax.population_count(bits).sum(axis=1))
+        count = bcum[-1].astype(jnp.int32)
 
         if wt is not None:
             # ---- Pallas survivor-walk engine (backends/pallas_walk.py):
@@ -808,7 +811,8 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                 # processed exactly once, so this round's positions still
                 # hold the kernel's depth-1..3 values in m.
                 pos, _, m123 = _compact(bits, cw, npad, rank_offset=off,
-                                        vals2d=m.reshape(-1, LANES))
+                                        vals2d=m.reshape(-1, LANES),
+                                        bcum=bcum)
                 walk = walkfn(walk_args, data2d, pos, n_arr)
                 merged = jnp.where(walk > 0, walk, m123)
                 return pos, merged
