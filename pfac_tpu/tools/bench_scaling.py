@@ -23,16 +23,18 @@ import numpy as np
 
 def amortized(dispatch, k: int = 6, reps: int = 3) -> float:
     """(t_K - t_1)/(K-1) amortized seconds per dispatch (the only honest
-    timing on tunneled runtimes; see DESIGN_NOTES.md)."""
+    timing on tunneled runtimes; see DESIGN_NOTES.md). The barrier MUST
+    slice on device before np.asarray — a full-array transfer rides the
+    ~11 MB/s tunnel and swamps the measurement."""
     out = dispatch()
-    _ = np.asarray(jax_leaf(out))[:1]
+    _ = np.asarray(jax_leaf(out)[:1])
 
     def batch(j):
         t0 = time.perf_counter()
         o = None
         for _ in range(j):
             o = dispatch()
-        _ = np.asarray(jax_leaf(o))[:1]
+        _ = np.asarray(jax_leaf(o)[:1])
         return time.perf_counter() - t0
 
     t1 = min(batch(1) for _ in range(reps + 1))
@@ -54,8 +56,17 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/pfac_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    import sys
+    sys.path.insert(0, os.getcwd())     # bench.py lives at the repo root
     from bench import snort_like_patterns
     from pfac_tpu import Automaton
     from pfac_tpu.backends import golden
