@@ -23,12 +23,15 @@ compaction 53 ms. The sieve removes all three bottlenecks:
   3-byte fingerprint: on random data the tail population is ~1e-5 of
   positions (dominated by the residual FP rate).
 
-* **Row-gather compaction + staged tail.** Survivor extraction uses
-  per-1024-block bitmaps emitted by the kernel; XLA-side compaction does
-  row gathers only (measured 34-53 G elem/s vs 0.12 G elem/s for
-  element gathers on this chip). The exact tail re-walks survivors from
-  scratch over the dense table in two depth stages so rare deep walks
-  don't hold the whole batch lockstep.
+* **Row-gather compaction + survivor-walk engine.** Survivor extraction
+  uses per-1024-block bitmaps emitted by the kernel; XLA-side compaction
+  does row gathers + MXU prefix sums only (element gathers run at
+  0.12 G elem/s on this chip). Survivors are walked to full depth by the
+  Pallas walk engine (backends/pallas_walk.py) over depth-sliced exact
+  CHD tables, in one straight-line program for every survivor density
+  (one light round + a while_loop of 64K rounds). The pre-walker staged
+  XLA tail remains only as the fallback for rulesets the walk tables
+  can't encode (pattern IDs or per-depth state counts >= 2^16).
 
 Output contract matches the reference exactly: result[i] = ID of the
 longest pattern starting at byte i, else 0 (PFAC_matchFromHost,
