@@ -796,28 +796,27 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             # overflow flag. The kernel's exact depth-1..3 match rides
             # along from compaction; a deeper walker match overrides it
             # (longest match wins).
-            from .pallas_walk import GROUP, build_walker
+            from .pallas_walk import GROUP, _n_m123_refs, build_walker
 
+            # the walker computes depth-1..3 itself (from the sieve's own
+            # m1/m2/m3 tables), so a round never READS the dense result it
+            # scatters into — reading it would force XLA to copy the
+            # 512 MB while-loop carry every heavy round
+            m123_args = sieve_args[:_n_m123_refs(tables)]
             walkfns: dict = {}
 
             def get_walkfn(cw):
                 if cw not in walkfns:
                     walkfns[cw] = build_walker(wt, cap=cw,
-                                               interpret=interpret)
+                                               interpret=interpret,
+                                               sieve_tables=tables)
                 return walkfns[cw]
 
-            def walker_round(walkfn, cw, m, off):
-                # m123 values come from the BRANCH ARGUMENT m, not a
-                # closed-over alias of `out`: a second captured 512 MB
-                # array across the lax.switch boundary costs XLA ~3 ms of
-                # defensive copies per dispatch. Safe: each rank is
-                # processed exactly once, so this round's positions still
-                # hold the kernel's depth-1..3 values in m.
-                pos, _, m123 = _compact(bits, cw, npad, rank_offset=off,
-                                        vals2d=m.reshape(-1, LANES),
-                                        bcum=bcum)
-                walk = walkfn(walk_args, data2d, pos, n_arr)
-                merged = jnp.where(walk > 0, walk, m123)
+            def walker_round(walkfn, cw, off):
+                pos, _ = _compact(bits, cw, npad, rank_offset=off,
+                                  bcum=bcum)
+                merged = walkfn(list(m123_args) + list(walk_args),
+                                data2d, pos, n_arr)
                 return pos, merged
 
             # NO density switch: one always-on light round (ranks
@@ -826,7 +825,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             # ~1.5 ms/dispatch in 512 MB branch-boundary copies; the
             # straight-line form pays only one in-place scatter.
             cl = min(-(-cap // GROUP) * GROUP, npad)
-            pos0, merged0 = walker_round(get_walkfn(cl), cl, matches, 0)
+            pos0, merged0 = walker_round(get_walkfn(cl), cl, 0)
             result = matches.at[pos0].set(merged0, mode="drop")
 
             hc = min(-(-HEAVY_CAP // GROUP) * GROUP, npad)
@@ -838,8 +837,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
 
             def body(s):
                 i, res = s
-                pos, merged = walker_round(heavy_walkfn, hc, res,
-                                           cl + i * hc)
+                pos, merged = walker_round(heavy_walkfn, hc, cl + i * hc)
                 return i + 1, res.at[pos].set(merged, mode="drop")
 
             _, result = jax.lax.while_loop(cond, body, (jnp.int32(0), result))

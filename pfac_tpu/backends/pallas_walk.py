@@ -316,9 +316,22 @@ def _nrefs(p: WProbe | None) -> int:
 _EXIT_BLOCK = 4            # steps per early-exit check (8 bytes of depth)
 
 
+def _n_m123_refs(sieve_tables) -> int:
+    """How many of the sieve's table arrays the walker consumes when it
+    computes depth-1..3 matches itself (everything except the alive
+    filter's arrays)."""
+    if sieve_tables is None:
+        return 0
+    n = len(sieve_tables.arrays)
+    if sieve_tables.alive is not None:
+        n -= len(sieve_tables.alive.arrays)
+    return n
+
+
 def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
-                      interpret: bool = False):
+                      interpret: bool = False, sieve_tables=None):
     t = tables
+    st_t = sieve_tables
 
     def kernel(n_ref, pos_ref, raw_ref, *refs):
         i = 0
@@ -329,6 +342,12 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
             r = list(refs[i: i + _nrefs(p)])
             i += _nrefs(p)
             return r
+        def take_n(k):
+            nonlocal i
+            r = list(refs[i: i + k])
+            i += k
+            return r
+        m123_r = take_n(_n_m123_refs(st_t))
         entry_r = take(t.entry)
         entryf_r = take(t.entry_final)
         step_r = [(take(s.main), take(s.odd), take(s.even)) for s in t.steps]
@@ -371,11 +390,49 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
 
         ensure(2)
         b0, b1, b2, b3 = byte_at(0), byte_at(1), byte_at(2), byte_at(3)
+        match = jnp.zeros((8, LANES), jnp.int32)
+        if st_t is not None:
+            # depth-1..3 matches computed HERE (same probes as the sieve
+            # kernel, masked by maxd): the caller's merge then never has
+            # to READ the dense result it scatters into — which would
+            # force XLA to copy the 512 MB while-loop carry every round
+            j = 0
+            if st_t.m1_chain is not None:
+                for ch, pid in st_t.m1_chain:
+                    match = jnp.where((b0 == ch) & (maxd > 0), pid, match)
+            elif st_t.m1 is not None:
+                m1 = _lookup(m123_r[j], b0, interpret); j += 1
+                match = jnp.where(maxd > 0, m1, match)
+            if st_t.m2 is not None:
+                m2 = st_t.m2
+                k2 = (b0 << 8) | b1
+                prod = k2 * _I32(m2.slot_mul)
+                m2_disp = None
+                if not m2.nodisp:
+                    m2_disp = m123_r[j]; j += 1
+                slot = _probe_slot(m2, m2_disp, prod, interpret)
+                w = _lookup(m123_r[j], slot, interpret); j += 1
+                if m2.keyw is not None:          # wide (ids > 15 bits)
+                    kw = _lookup(m123_r[j], slot, interpret); j += 1
+                    match = jnp.where((kw == k2) & (maxd > 1), w, match)
+                else:
+                    hit2 = (((w >> 16) & 0xFFFF) == k2) & (maxd > 1)
+                    match = jnp.where(hit2, w & 0x7FFF, match)
+            if st_t.m3 is not None:
+                m3 = st_t.m3
+                k3 = (b0 << 16) | (b1 << 8) | b2
+                prod = k3 * _I32(m3.slot_mul)
+                m3_disp = None
+                if not m3.nodisp:
+                    m3_disp = m123_r[j]; j += 1
+                w = _lookup(m123_r[j], slot3 := _probe_slot(m3, m3_disp, prod, interpret), interpret); j += 1
+                kw = _lookup(m123_r[j], slot3, interpret); j += 1
+                match = jnp.where((kw == k3) & (maxd > 2), w, match)
+            assert j == len(m123_r)
         key4 = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
         ok4 = maxd > 3
         hit, idx4 = _probe(t.entry, entry_r, key4, interpret)
         st[:] = jnp.where(hit & ok4, idx4, DEAD)
-        match = jnp.zeros((8, LANES), jnp.int32)
         if t.entry_final is not None:
             fh, pid = _probe(t.entry_final, entryf_r, key4, interpret)
             match = jnp.where(fh & ok4, pid, match)
@@ -460,19 +517,25 @@ def prepare_windows(data2d_u8: jax.Array, pos: jax.Array, w_raw: int):
             .reshape(g * w_raw * 8, LANES))
 
 
-def build_walker(tables: WalkTables, *, cap: int, interpret: bool = False):
+def build_walker(tables: WalkTables, *, cap: int, interpret: bool = False,
+                 sieve_tables=None):
     """run(walk_args, data2d_u8, pos, n_arr) -> match int32[cap].
 
     pos entries >= n (compaction padding) report 0. cap must be a
-    multiple of GROUP (1024)."""
+    multiple of GROUP (1024). With sieve_tables given, walk_args must be
+    the sieve's m1/m2/m3 arrays followed by tables.arrays, and the output
+    covers ALL depths (the walker computes depth-1..3 itself)."""
     assert cap % GROUP == 0
     g = cap // GROUP
     w_out, w_raw = window_geometry(tables.max_len)
-    kernel = _make_walk_kernel(tables, w_raw, w_out, interpret)
+    kernel = _make_walk_kernel(tables, w_raw, w_out, interpret, sieve_tables)
+    n123 = _n_m123_refs(sieve_tables)
+    m123_arrays = (sieve_tables.arrays[:n123] if sieve_tables is not None
+                   else [])
     tab_specs = [
         pl.BlockSpec((a.shape[0], LANES), lambda i: (0, 0),
                      memory_space=pltpu.VMEM)
-        for a in tables.arrays
+        for a in m123_arrays + tables.arrays
     ]
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
