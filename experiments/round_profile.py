@@ -1,0 +1,158 @@
+"""Walker-round cost decomposition on a DEFCON-like corpus (round 3).
+
+Builds the component chain compact -> +windows -> +walk -> +scatter as
+separate programs over REAL kernel bits, each timed amortized; successive
+differences give per-component cost per 64K-survivor round.
+"""
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CORPUS_MB = 128
+ROUNDS = 4
+CAP = 1 << 16
+
+
+def amortized(fn, args, k=6, reps=3):
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+
+    def batch(j):
+        t0 = time.perf_counter()
+        for _ in range(j):
+            o = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[:1])
+        return time.perf_counter() - t0
+
+    t1 = min(batch(1) for _ in range(reps + 1))
+    tk = min(batch(k) for _ in range(reps))
+    return (tk - t1) / (k - 1)
+
+
+def main():
+    from bench import snort_like_patterns
+    from pfac_tpu import Automaton
+    from pfac_tpu.backends import pallas_sieve as S
+    from pfac_tpu.backends.pallas_walk import (GROUP, build_walker,
+                                               prepare_windows,
+                                               window_geometry,
+                                               build_walk_tables)
+    from pfac_tpu.backends.xla import dense_device_table
+
+    dev = jax.devices()[0]
+    pats = snort_like_patterns()
+    a = Automaton.from_patterns(pats)
+    tables = S.SieveTables.build(a)
+    wt = build_walk_tables(a)
+    print("walk vmem:", wt.vmem_bytes, flush=True)
+
+    rng = np.random.default_rng(42)
+    n = CORPUS_MB << 20
+    npad = S.npad_for(n)
+    text = rng.integers(32, 127, size=npad, dtype=np.uint8)
+    buf = bytearray(text.tobytes())
+    budget = int(n * 0.015)
+    placed = 0
+    while placed < budget:
+        p = pats[int(rng.integers(0, len(pats)))]
+        off = int(rng.integers(0, n - len(p)))
+        buf[off:off + len(p)] = p
+        placed += len(p)
+    data = np.frombuffer(bytes(buf), dtype=np.uint8)
+    dd = jax.device_put(data, dev)
+    n_arr = jnp.full((1,), n, jnp.int32)
+    targs = [jax.device_put(jnp.asarray(x), dev) for x in tables.arrays]
+    wargs = [jax.device_put(jnp.asarray(x), dev) for x in wt.arrays]
+    dense_flat = jax.device_put(
+        jnp.asarray(dense_device_table(a).reshape(-1)), dev)
+
+    # kernel bits, device-resident
+    kfn = jax.jit(S.build_pipeline(a, tables, npad=npad, cap=1 << 12,
+                                   aligned=True, kernel_only=True))
+    print("compiling kernel...", flush=True)
+    out, bits = kfn(targs, dense_flat, dd, n_arr)
+    nsurv = int(np.asarray(jax.jit(
+        lambda b: jax.lax.population_count(b).sum())(bits)))
+    print("survivors:", nsurv, flush=True)
+    t = amortized(lambda d: kfn(targs, dense_flat, d, n_arr)[0], (dd,))
+    print(f"kernel_only      : {t*1e3:8.2f} ms", flush=True)
+
+    data2d = dd.reshape(npad // 128, 128)
+    w_out, w_raw = window_geometry(wt.max_len)
+    n123 = S.pallas_walk = None
+    from pfac_tpu.backends.pallas_walk import _n_m123_refs
+    m123 = targs[:_n_m123_refs(tables)]
+    walkfn = build_walker(wt, cap=CAP, sieve_tables=tables)
+
+    bcum_fn = jax.jit(lambda b: jnp.cumsum(
+        jax.lax.population_count(b).sum(axis=1)))
+    bcum = bcum_fn(bits)
+
+    def mk_compact():
+        @jax.jit
+        def f(bits, bcum):
+            acc = jnp.int32(0)
+            for i in range(ROUNDS):
+                pos, _ = S._compact(bits, CAP, npad, rank_offset=i * CAP,
+                                    bcum=bcum)
+                acc += jnp.sum(pos)
+            return acc
+        return f
+
+    def mk_windows():
+        @jax.jit
+        def f(bits, bcum, data2d):
+            acc = jnp.int32(0)
+            for i in range(ROUNDS):
+                pos, _ = S._compact(bits, CAP, npad, rank_offset=i * CAP,
+                                    bcum=bcum)
+                raw = prepare_windows(data2d, pos, w_raw)
+                acc += jnp.sum(raw[:1]) + jnp.sum(pos)
+            return acc
+        return f
+
+    def mk_walk():
+        @jax.jit
+        def f(bits, bcum, data2d):
+            acc = jnp.int32(0)
+            for i in range(ROUNDS):
+                pos, _ = S._compact(bits, CAP, npad, rank_offset=i * CAP,
+                                    bcum=bcum)
+                merged = walkfn(list(m123) + list(wargs), data2d, pos, n_arr)
+                acc += jnp.sum(merged)
+            return acc
+        return f
+
+    def mk_scatter():
+        @jax.jit
+        def f(bits, bcum, data2d, res):
+            for i in range(ROUNDS):
+                pos, _ = S._compact(bits, CAP, npad, rank_offset=i * CAP,
+                                    bcum=bcum)
+                merged = walkfn(list(m123) + list(wargs), data2d, pos, n_arr)
+                res = res.at[pos].set(merged, mode="drop")
+            return res
+        return f
+
+    res0 = jnp.zeros(npad, jnp.int32)
+    steps = [("compact", mk_compact(), (bits, bcum)),
+             ("(+)windows", mk_windows(), (bits, bcum, data2d)),
+             ("(+)walk", mk_walk(), (bits, bcum, data2d)),
+             ("(+)scatter", mk_scatter(), (bits, bcum, data2d, res0))]
+    prev = 0.0
+    for name, fn, args in steps:
+        print(f"compiling {name}...", flush=True)
+        t = amortized(fn, args)
+        print(f"{name:12s}: {t*1e3:8.2f} ms total, "
+              f"{(t-prev)*1e3/ROUNDS:6.2f} ms/round marginal", flush=True)
+        prev = t
+
+
+if __name__ == "__main__":
+    main()

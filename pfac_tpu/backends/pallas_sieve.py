@@ -249,7 +249,12 @@ def _lookup(ref, w, interpret: bool = False):
 
     In interpret mode (CPU tests) the scan is replaced by one flat
     gather — semantically identical, but it keeps the jaxpr (and the
-    interpreter's op count) independent of table size."""
+    interpreter's op count) independent of table size.
+
+    Precondition: every index in w must be in range [0, planes*128).
+    All current probes guarantee it (slots are hash values masked to the
+    table size); an out-of-range index would return mode="clip" garbage
+    here but plane-0 values on the compiled path — a silent divergence."""
     n_planes = ref.shape[0] // 8
     if interpret and n_planes > 2:
         flat = ref[...][::8, :].reshape(-1)       # plane rows are replicas
@@ -317,12 +322,15 @@ def _make_kernel(tables: SieveTables, grid: int,
                 al_disp = refs[i]; i += 1
             al_words = refs[i]; i += 1
         out_ref, bits_ref = refs[i], refs[i + 1]
-        k2_ref, k3_ref, k4_ref = refs[i + 2], refs[i + 3], refs[i + 4]
+        k4_ref = refs[i + 2]
 
         g = pl.program_id(0)
         n = n_ref[0, 0]
 
-        # ---- byte assembly: c0..c3 for every position, via lane rolls
+        # ---- byte assembly: c0..c3 for every position, via lane rolls.
+        # Only key4 is staged through scratch: key2/key3 are its high
+        # 16/24 bits, recovered per row-group with shifts — two fewer
+        # scratch round trips per group than staging all three.
         x = data_ref[:].astype(jnp.int32)                 # (TR,128) = c0
         halo0 = halo_ref[0:1, :].astype(jnp.int32)        # next block's row 0
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS_, LANES), 0)
@@ -337,13 +345,7 @@ def _make_kernel(tables: SieveTables, grid: int,
             return jnp.where(lanes >= LANES - k, b, a)
 
         c1, c2, c3 = shifted(1), shifted(2), shifted(3)
-
-        key2 = (x << 8) | c1
-        key3 = (key2 << 8) | c2
-        key4 = (key3 << 8) | c3
-        k2_ref[:] = key2
-        k3_ref[:] = key3
-        k4_ref[:] = key4
+        k4_ref[:] = (x << 24) | (c1 << 16) | (c2 << 8) | c3
 
         # remaining-bytes base for end-of-input masking: rd = n - position;
         # probes require rd > depth (their last byte read must be < n)
@@ -355,20 +357,17 @@ def _make_kernel(tables: SieveTables, grid: int,
         def sub_blk(r, _):
             for u in range(UNROLL):
                 rr = r * UNROLL + u
-                sl = lambda ref: ref[pl.ds(rr * 8, 8), :]
+                k4s = k4_ref[pl.ds(rr * 8, 8), :]
                 rd = (n_loc - rr * (8 * LANES)) - base8
                 match = jnp.zeros((8, LANES), jnp.int32)
-                need_k2 = has_m1 or m1_chain is not None or m2 is not None
-                k2s = sl(k2_ref) if need_k2 else None
                 if m1_chain is not None:
-                    # c0 is the high byte of key2 — avoids a u8 sub-tile load
-                    c0 = k2s >> 8
+                    c0 = (k4s >> 24) & 0xFF
                     for ch, pid in m1_chain:
                         match = jnp.where(c0 == ch, pid, match)
                 elif has_m1:
-                    match = _lookup(m1_planes, k2s >> 8, interpret)
+                    match = _lookup(m1_planes, (k4s >> 24) & 0xFF, interpret)
                 if m2 is not None:
-                    k = k2s
+                    k = (k4s >> 16) & 0xFFFF
                     prod = k * _I32(m2.slot_mul)
                     slot = _probe_slot(m2, m2_disp, prod, interpret)
                     w = _lookup(m2_words, slot, interpret)
@@ -382,7 +381,7 @@ def _make_kernel(tables: SieveTables, grid: int,
                         hit = (((w >> 16) & 0xFFFF) == k) & (rd > 1)
                         match = jnp.where(hit, w & 0x7FFF, match)
                 if m3 is not None:
-                    k = sl(k3_ref)
+                    k = (k4s >> 8) & 0xFFFFFF
                     prod = k * _I32(m3.slot_mul)
                     slot = _probe_slot(m3, m3_disp, prod, interpret)
                     w = _lookup(m3_words, slot, interpret)
@@ -391,8 +390,7 @@ def _make_kernel(tables: SieveTables, grid: int,
                     match = jnp.where(hit, w, match)
                 out = jnp.where(rd > 0, match, 0)
                 if alive is not None:
-                    k = sl(k4_ref)
-                    prod = k * _I32(alive.slot_mul)
+                    prod = k4s * _I32(alive.slot_mul)
                     slot = _probe_slot(alive, al_disp, prod, interpret)
                     w = _lookup(al_words, slot >> 1, interpret)
                     r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
@@ -440,28 +438,31 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     rows = jnp.take(bits, blk, axis=0)                         # (cap,128) row gather
     # localize the rank-th set bit with popcount arithmetic — expanding
     # to (cap, 1024) bits + cumsum costs ~3 ms per 64K round in HBM
-    # intermediates; this stays (cap, 128)
+    # intermediates; this stays (cap, 128).
+    # Enumeration is POSITION-MAJOR (bit s of a row covers positions
+    # s*128..s*128+127, so sublane-first counting makes emitted positions
+    # ascend with rank — the reduce contract, reference zip order:
+    # PFAC/src/PFAC_reduce_kernel.cu:430-457).
     from .xla import _lane_prefix
 
-    pc = jax.lax.population_count(rows)
-    pcc = _lane_prefix(pc)                     # MXU prefix along lanes, f32
-    rank_f = rank[:, None].astype(jnp.float32)
-    lane = jnp.sum((pcc < rank_f).astype(jnp.int32), axis=1)
+    cnts = [jnp.sum((rows >> s) & 1, axis=1) for s in range(8)]
+    ccum, acc = [], jnp.zeros(cap, jnp.int32)
+    for s in range(8):
+        acc = acc + cnts[s]
+        ccum.append(acc)
+    sbit = sum((c < rank).astype(jnp.int32) for c in ccum)     # first s with
+    sbit = jnp.minimum(sbit, 7)                                # ccum >= rank
+    prevc = jnp.zeros(cap, jnp.int32)
+    for s in range(7):
+        prevc = jnp.where(sbit == s + 1, ccum[s], prevc)
+    plane = (rows >> sbit[:, None]) & 1                        # (cap,128)
+    pcc = _lane_prefix(plane)                  # MXU prefix along lanes, f32
+    rin_f = (rank - prevc)[:, None].astype(jnp.float32)
+    lane = jnp.sum((pcc < rin_f).astype(jnp.int32), axis=1)
     lane = jnp.minimum(lane, LANES - 1)
     lane_iota = jnp.arange(LANES, dtype=jnp.int32)[None, :]
     onehot_l = lane_iota == lane[:, None]
-    prevc = jnp.sum(jnp.where(lane_iota == (lane - 1)[:, None], pcc, 0),
-                    axis=1).astype(jnp.int32)                  # 0 at lane 0
-    word = jnp.sum(jnp.where(onehot_l, rows, 0), axis=1)
-    rbit = rank - prevc                                        # 1..8
-    c = jnp.zeros(cap, jnp.int32)
-    sbit = jnp.full(cap, 0, jnp.int32)
-    for s in range(8):
-        bit = (word >> s) & 1
-        c = c + bit
-        sbit = jnp.where((bit == 1) & (c == rbit), s, sbit)
-    within = sbit * 128 + lane
-    pos = blk * 1024 + within
+    pos = blk * 1024 + sbit * 128 + lane
     pos = jnp.where(q <= count, pos, npad)
     if vals2d is None:
         return pos, count
@@ -470,6 +471,55 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     vals = jnp.sum(jnp.where(onehot_l, vrows, 0), axis=1)
     vals = jnp.where(q <= count, vals, 0)
     return pos, count, vals
+
+
+REDUCE_CAP = 1 << 18    # match ranks per reduce chunk
+
+
+def bits_from_dense(result: jax.Array) -> jax.Array:
+    """(npad,) int32 dense match vector -> (npad//1024, 128) match bitmaps
+    in _compact's layout (bit s of lane j = position block*1024+s*128+j).
+    One cheap row-shaped pass — the TPU replacement for the reference's
+    in-kernel ballot (reference: PFAC/src/PFAC_reduce_kernel.cu:760-805)."""
+    nb = result.shape[0] // 1024
+    r3 = (result.reshape(nb, 8, LANES) > 0).astype(jnp.int32)
+    s = jax.lax.broadcasted_iota(jnp.int32, (nb, 8, LANES), 1)
+    return jnp.sum(r3 << s, axis=1)
+
+
+def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
+    """Dense match vector -> compacted (ids, pos, count), positions
+    ascending; entries past count are zero. All heavy traffic is
+    row-shaped: match bitmaps + the same rank-select row gathers the
+    survivor compaction uses (_compact with vals2d), walked in chunks of
+    `cap` ranks inside one program. Replaces the per-rank machinery of
+    xla._reduce_rowgather for the sieve path (~4x less per-chunk work:
+    values ride the same row gather as positions)."""
+    npad = result.shape[0]
+    cap = min(cap, npad)
+    bits = bits_from_dense(result)
+    bcum = jnp.cumsum(jax.lax.population_count(bits).sum(axis=1))
+    count = bcum[-1].astype(jnp.int32)
+    vals2d = result.reshape(-1, LANES)
+    n_alloc = npad + cap
+
+    def body(st):
+        i, ids, pos = st
+        p, _, v = _compact(bits, cap, npad, rank_offset=i * cap,
+                           vals2d=vals2d, bcum=bcum)
+        ids = jax.lax.dynamic_update_slice(ids, v, (i * cap,))
+        pos = jax.lax.dynamic_update_slice(
+            pos, jnp.where(p < npad, p, 0), (i * cap,))
+        return i + 1, ids, pos
+
+    def cond(st):
+        return st[0] * cap < count
+
+    _, ids, pos = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros(n_alloc, jnp.int32),
+         jnp.zeros(n_alloc, jnp.int32)))
+    return ids[:npad], pos[:npad], count
 
 
 def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
@@ -707,10 +757,18 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
     padded-buffer copy (the lookahead halo comes from a separate zero
     block instead).
     """
-    if tile_rows % max(HALO_ROWS, 8 * UNROLL) or tile_rows <= 0:
+    if force_branch is not None and walk_tables is not None:
+        # force_branch selects among the XLA fallback branches only; the
+        # walker pipeline has no branches to force — silently returning it
+        # would hand a profiling caller the wrong program
         raise PfacError(
             PfacStatus.INVALID_PARAMETER,
-            f"tile_rows must be a positive multiple of {max(HALO_ROWS, 8 * UNROLL)}",
+            "force_branch requires walk_tables=None (XLA fallback pipeline)",
+        )
+    if tile_rows % 64 or tile_rows <= 0:
+        raise PfacError(
+            PfacStatus.INVALID_PARAMETER,
+            "tile_rows must be a positive multiple of 64",
         )
     grid = npad // (tile_rows * LANES)
     kernel = _make_kernel(tables, grid, tile_rows, interpret)
@@ -775,10 +833,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((tile_rows, LANES), jnp.int32)
-                for _ in range(3)
-            ],
+            scratch_shapes=[pltpu.VMEM((tile_rows, LANES), jnp.int32)],
             interpret=interpret,
         )(n_smem, data2d, data2d, *sieve_args)
         matches = out.reshape(-1)
@@ -1036,8 +1091,13 @@ class SieveMatcher:
         return res_np[:n]
 
     def match_reduce_device(self, data_u8):
-        from .xla import _reduce_rowgather
-        return _reduce_rowgather(self.match_device(data_u8))
+        result = self.match_device(data_u8)
+        key = ("reduce", result.shape[0])
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(reduce_from_dense)
+            self._fns[key] = fn
+        return fn(result)
 
     def match_reduce(self, data):
         from .xla import host_reduce

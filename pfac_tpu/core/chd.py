@@ -335,7 +335,9 @@ def _fused_slot(t: ChdTable, key: int) -> tuple[int, int]:
     k = np.uint32(key)
     b, r = t.num_buckets, t.num_slots
     lg_b, lg_r = int(np.log2(b)), int(np.log2(r))
-    prod = np.uint32(k * np.uint32(slot_multiplier(t.salt)))
+    # wrapping 32-bit multiply (mask via int, not uint32*uint32 — numpy
+    # warns on intended uint32 overflow)
+    prod = np.uint32((int(k) * slot_multiplier(t.salt)) & 0xFFFFFFFF)
     bk = int(prod >> np.uint32(32 - lg_b)) & (b - 1)
     h1 = int(prod >> np.uint32(32 - lg_b - lg_r)) & (r - 1)
     slot = (h1 ^ int(t.disp[bk])) & (r - 1)

@@ -403,14 +403,31 @@ class ShardedMatcher:
                                  self._put(arr, shard_len))
             flags = np.asarray(flags)          # (nd, 2): count, overflow
             if not flags[:, 1].any():
-                ids = np.asarray(ids).reshape(self.num_devices, cap_r)
-                pos = np.asarray(pos).reshape(self.num_devices, cap_r)
+                # O(count) transfer: slice each shard's true count ON
+                # DEVICE before fetching — shipping the fixed cap_r
+                # (8 MB/shard) through an ~11 MB/s tunnel dwarfed the
+                # compaction itself (round-2 weakness)
+                def by_shard(arr):
+                    # local shard buffers keyed by shard index (slicing the
+                    # GLOBAL sharded array would need collective resharding)
+                    return {sh.index[0].start or 0: sh.data
+                            for sh in arr.addressable_shards}
+                ids_sh, pos_sh = by_shard(ids), by_shard(pos)
                 out_i, out_p = [], []
                 for s in range(self.num_devices):
                     c = int(flags[s, 0])
-                    out_i.append(ids[s, :c])
-                    out_p.append(pos[s, :c].astype(np.int64)
-                                 + np.int64(s) * shard_len)
+                    if c == 0:
+                        continue
+                    # pow2 bucket: bounds distinct on-device slice shapes
+                    # (each new shape is a compile — ~100 s on tunneled
+                    # runtimes) while keeping the transfer O(count)
+                    cb = min(cap_r, 1 << max(10, (c - 1).bit_length()))
+                    base = s * cap_r
+                    out_i.append(np.asarray(ids_sh[base][:cb])[:c])
+                    out_p.append(np.asarray(pos_sh[base][:cb])[:c]
+                                 .astype(np.int64) + np.int64(s) * shard_len)
+                if not out_i:
+                    return (np.zeros(0, np.int32), np.zeros(0, np.int64), 0)
                 gi = np.concatenate(out_i).astype(np.int32)
                 gp = np.concatenate(out_p)
                 return gi, gp, int(gp.shape[0])

@@ -56,6 +56,7 @@ class _Handle:
         self.platform = Platform.DEVICE
         self.perf_mode = PerfMode.DENSE
         self.placement = PlacementMode.AUTO
+        self.async_check = False    # see PFAC_setAsyncCheckMode
 
 
 def PFAC_create(handle_out: MutableSequence) -> PfacStatus:
@@ -200,7 +201,11 @@ def PFAC_matchFromDevice(handle, d_input, size, d_matched_result) -> PfacStatus:
         # flush the engine's deferred overflow flags so SUCCESS here means
         # `out` is complete — C-API consumers get per-call error discipline
         # even though the raw SieveMatcher defers the (~30 ms) sync.
-        handle.matcher.flush_checks()
+        # PFAC_setAsyncCheckMode(handle, True) opts a dispatch-stream
+        # consumer out of the per-call sync; errors then surface at
+        # PFAC_synchronize instead.
+        if not handle.async_check:
+            handle.matcher.flush_checks()
         d_matched_result.insert(0, out)
     except PfacError as e:
         return e.status
@@ -249,7 +254,8 @@ def PFAC_matchFromDeviceReduce(
         return PfacStatus.SUCCESS
     try:
         ids, pos, count = handle.matcher.match_reduce_device(d_input)
-        handle.matcher.flush_checks()   # per-call error discipline (see above)
+        if not handle.async_check:      # per-call error discipline (see above)
+            handle.matcher.flush_checks()
         d_matched_result.insert(0, ids)
         d_pos.insert(0, pos)
         h_num_matched.insert(0, int(count))
@@ -257,6 +263,19 @@ def PFAC_matchFromDeviceReduce(
         return e.status
     except Exception:
         return PfacStatus.INTERNAL_ERROR
+    return PfacStatus.SUCCESS
+
+
+def PFAC_setAsyncCheckMode(handle: _Handle, enabled: bool) -> PfacStatus:
+    """Opt out of the per-call deferred-error flush in
+    PFAC_matchFromDevice[Reduce]. With async checks enabled, those calls
+    skip the ~30 ms tunneled device sync and deferred overflow errors
+    surface at the next PFAC_synchronize (or a host-materializing call)
+    instead — the engine's native batched-dispatch discipline. No
+    reference analog (CUDA synced per call by construction)."""
+    if not isinstance(handle, _Handle):
+        return PfacStatus.INVALID_HANDLE
+    handle.async_check = bool(enabled)
     return PfacStatus.SUCCESS
 
 

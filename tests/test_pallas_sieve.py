@@ -118,6 +118,43 @@ class TestSieveMatcher:
         ids, pos, n = m.match_reduce(b"ABEDEDABG")
         assert (n, pos.tolist(), ids.tolist()) == (5, [0, 1, 2, 4, 6], [1, 3, 4, 4, 2])
 
+    def test_match_reduce_device_ascending_across_sublanes(self):
+        # matches spread across all 8 sublane rows of a 1024-position
+        # block: positions must come back globally ASCENDING (the
+        # reference zip order) — lane-major bit enumeration would
+        # interleave them
+        rng = np.random.default_rng(7)
+        pats = [b"qq", b"zzz", b"wxyzab"]
+        a, m = _sieve(pats)
+        data = bytearray(rng.integers(97, 123, size=6000, dtype=np.uint8))
+        for off in (0, 5, 129, 257, 300, 385, 700, 901, 1023, 1200, 2049,
+                    3333, 5990):
+            data[off:off + 6] = b"wxyzab"
+        data = bytes(data)
+        import jax
+        ids, pos, count = m.match_reduce_device(
+            jax.device_put(np.frombuffer(data, np.uint8)))
+        m.flush_checks()
+        c = int(count)
+        g_ids, g_pos, g_n = golden.reduce_result(golden.match_dense(a, data))
+        assert c == g_n
+        assert np.asarray(pos)[:c].tolist() == g_pos.tolist()
+        assert np.asarray(ids)[:c].tolist() == g_ids.tolist()
+
+    def test_reduce_from_dense_chunked(self):
+        # count spanning multiple reduce chunks exercises the while_loop
+        from pfac_tpu.backends.pallas_sieve import reduce_from_dense
+        import jax
+        rng = np.random.default_rng(3)
+        dense = np.where(rng.random(8192) < 0.3, 5, 0).astype(np.int32)
+        ids, pos, count = jax.jit(
+            lambda r: reduce_from_dense(r, cap=512))(jax.device_put(dense))
+        c = int(count)
+        exp = np.flatnonzero(dense)
+        assert c == exp.shape[0]
+        assert np.asarray(pos)[:c].tolist() == exp.tolist()
+        assert np.asarray(ids)[:c].tolist() == dense[exp].tolist()
+
     def test_survivors_beyond_light_cap_one_dispatch(self):
         # corpus where EVERY position is alive: survivors >> the light
         # capacity — the in-program mid/heavy switch handles it with no

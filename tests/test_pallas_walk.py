@@ -137,7 +137,7 @@ class TestWalkKernel:
                   b"abcdeXqwertyzXabcdef" + bytes(11))
 
     def test_kernel_row_straddle(self):
-        # positions around the 64-byte gather-row boundary, matches
+        # positions around the 128-byte gather-row boundary, matches
         # straddling rows; every (wv, ob) alignment class
         pat = b"HELLOWORLD!!"
         data = bytearray(400)
