@@ -60,6 +60,11 @@ HALO_ROWS = 32                 # uint8 tile height: one min-tile of halo
 
 _I32 = lambda x: jnp.int32(np.int32(np.uint32(x)))
 
+# alive-key count above which the filter stores 8-bit residuals (half the
+# plane scan) instead of 16-bit: past this size the saved plane gathers
+# outweigh the extra ~2^-8 false survivors' walk cost
+_RESID8_THRESHOLD = 8192
+
 
 # --------------------------------------------------------------------------
 # host-side table construction
@@ -106,6 +111,7 @@ class _Probe:
     slot_mul: int
     disp_u8: bool = False      # displacements packed 4/word instead of 2
     nodisp: bool = False       # slot = top bits of the product, no disp
+    resid_bits: int = 16       # residual width (alive filter only)
 
     @classmethod
     def from_chd(cls, t: chd.ChdTable, key_words: np.ndarray | None = None):
@@ -215,7 +221,12 @@ class SieveTables:
         alive = None
         if alive_keys:
             ks = np.array(sorted(alive_keys), dtype=np.int64).astype(np.uint32)
-            alive = _Probe.from_chd(chd.build_resid2(ks))
+            # large key sets: 8-bit residuals halve the probe's plane scan
+            # (the dominant kernel cost, ~0.6 ms/plane/128 MB); the extra
+            # ~2^-8 false survivors die at the walker's exact entry probe
+            bits = 8 if len(ks) > _RESID8_THRESHOLD else 16
+            alive = _Probe.from_chd(chd.build_resid2(ks, bits=bits))
+            alive.resid_bits = bits
 
         vmem = 0
         if m1 is not None:
@@ -291,7 +302,8 @@ def _probe_slot(p: "_Probe", disp_planes, prod, interpret: bool = False):
 
 
 def _make_kernel(tables: SieveTables, grid: int,
-                 tile_rows: int = TILE_ROWS, interpret: bool = False):
+                 tile_rows: int = TILE_ROWS, interpret: bool = False,
+                 unroll: int = UNROLL):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
     TILE_ROWS_, SUB_ = tile_rows, tile_rows // 8
@@ -352,11 +364,17 @@ def _make_kernel(tables: SieveTables, grid: int,
         base8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
                  + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1))
         n_loc = n - g * (TILE_ROWS_ * LANES)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        # alive bitmaps accumulate in the fori carry and store as aligned
+        # (8,128) blocks every `ips` iterations — no post-pass re-read of
+        # the whole out tile, no sub-tile read-modify-write stores
+        ips = max(1, 8 // unroll)
 
         # ---- per row-group probes
-        def sub_blk(r, _):
-            for u in range(UNROLL):
-                rr = r * UNROLL + u
+        def sub_blk(r, bits_acc):
+            phase = r % ips
+            for u in range(unroll):
+                rr = r * unroll + u
                 k4s = k4_ref[pl.ds(rr * 8, 8), :]
                 rd = (n_loc - rr * (8 * LANES)) - base8
                 match = jnp.zeros((8, LANES), jnp.int32)
@@ -388,26 +406,31 @@ def _make_kernel(tables: SieveTables, grid: int,
                     kw = _lookup(m3_keyw, slot, interpret)     # empty = a member key
                     hit = (kw == k) & (rd > 2)
                     match = jnp.where(hit, w, match)
-                out = jnp.where(rd > 0, match, 0)
+                out_ref[pl.ds(rr * 8, 8), :] = jnp.where(rd > 0, match, 0)
                 if alive is not None:
                     prod = k4s * _I32(alive.slot_mul)
                     slot = _probe_slot(alive, al_disp, prod, interpret)
-                    w = _lookup(al_words, slot >> 1, interpret)
-                    r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
-                    # the stored residual is the product's low 16 bits
-                    a = (r16 == (prod & 0xFFFF)) & (rd > 3)
-                    out = out | (a.astype(jnp.int32) << 30)
-                out_ref[pl.ds(rr * 8, 8), :] = out
-            return 0
+                    # the stored residual is the product's low resid_bits
+                    if alive.resid_bits == 16:
+                        w = _lookup(al_words, slot >> 1, interpret)
+                        r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
+                        a = (r16 == (prod & 0xFFFF)) & (rd > 3)
+                    else:                       # 8-bit, packed 4/word
+                        w = _lookup(al_words, slot >> 2, interpret)
+                        lo = jnp.where((slot & 1) == 1, w >> 8, w)
+                        r8 = jnp.where((slot & 2) == 2, lo >> 16, lo) & 0xFF
+                        a = (r8 == (prod & 0xFF)) & (rd > 3)
+                    bw = jnp.sum(a.astype(jnp.int32) << srow, axis=0)
+                    bits_acc = jnp.where(srow == phase * unroll + u,
+                                         bw[None, :], bits_acc)
 
-        jax.lax.fori_loop(0, SUB_ // UNROLL, sub_blk, 0)
+            @pl.when(phase == ips - 1)
+            def _():
+                bits_ref[pl.ds((r // ips) * 8, 8), :] = bits_acc
+            return jnp.where(phase == ips - 1, 0, bits_acc)
 
-        # ---- pack alive bits: one int32 word per (8,128) row-group column
-        w = out_ref[:]
-        a3 = ((w >> 30) & 1).reshape(SUB_, 8, LANES)
-        s = jax.lax.broadcasted_iota(jnp.int32, (SUB_, 8, LANES), 1)
-        bits_ref[:] = jnp.sum(a3 << s, axis=1)
-        out_ref[:] = w & ~(1 << 30)
+        jax.lax.fori_loop(0, SUB_ // unroll, sub_blk,
+                          jnp.zeros((8, LANES), jnp.int32))
 
     return kernel
 
@@ -741,7 +764,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                    npad: int, cap: int, interpret: bool = False,
                    kernel_only: bool = False, aligned: bool = False,
                    tile_rows: int = TILE_ROWS, walk_tables=None,
-                   force_branch: int | None = None):
+                   force_branch: int | None = None, unroll: int = UNROLL):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
@@ -771,7 +794,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             "tile_rows must be a positive multiple of 64",
         )
     grid = npad // (tile_rows * LANES)
-    kernel = _make_kernel(tables, grid, tile_rows, interpret)
+    kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll)
     sub = tile_rows // 8
     a = automaton
     has_alive = tables.alive is not None

@@ -1,0 +1,288 @@
+"""CSR row-gather walker: the deep-walk tier for rulesets beyond the
+VMEM walk engine's encoding (pattern IDs or per-depth state counts >=
+2^16, or walk tables past the VMEM budget — e.g. 100K-pattern
+ClamAV-scale sets).
+
+TPU-native rethink of the reference's space-driven kernel serving tables
+up to 2^27 entries from texture/global memory (reference:
+PFAC/src/PFAC_kernel_spaceDriven.cu:465-558, PFAC/src/PFAC.cpp:69). The
+two fast random-access shapes on this chip are the VPU's VMEM lane
+gather (bounded by table size: every probe scans all planes) and the XLA
+row gather (~5 ns/row from HBM, any table size). Big tables therefore
+live in HBM as per-depth CSR rows probed by row gathers:
+
+* **Depth-sliced 4-byte-stepping CSR.** States at depth d (multiple of
+  4) get compact int32 indices (row 0 reserved = empty). A step probes
+  ONE row gather: rows[state] holds up to W entry triples
+  (key, meta, pid) where meta packs the key length (1-4 bytes) and the
+  next-state index; finals at depths d+1..d+4 and the d+4 transition are
+  entries of the same row. Hot states overflow into continuation rows
+  (klen=0 sentinel), followed by extra chained gathers only at depths
+  where the host build actually produced chains.
+
+* **Hash-bucketed entry.** The depth-0..4 step is a bucketed hash table
+  over the distinct 4-byte prefixes: bucket = top bits of key4*MUL, one
+  row gather + at most max-occupancy compares (host-sized, exact).
+
+* **Survivor windows via row gathers + a Pallas word-align kernel.**
+  Bytes come from 128-byte-row gathers (backends.pallas_walk.
+  prepare_windows), word-aligned once per stage by a tiny Pallas kernel;
+  per-step byte extraction is then static column slices + per-lane
+  variable shifts — no per-position gathers.
+
+* **Capacity-staged pruning.** Same depth stages as the legacy heavy
+  walker (16 / 48 / 112 / max_len with 3/4, 1/4, 1/16 capacity
+  headroom) via rank-select compaction; stage-capacity overflow sets the
+  pipeline's deferred overflow flag (checked by flush_checks /
+  PFAC_synchronize) and routes the caller to the lockstep XLA walker.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.automaton import Automaton
+
+ENTRY_MUL = 0x9E3779B1          # bucket hash multiplier (odd, high-entropy)
+W_ENTRIES = 8                   # entry triples per CSR row before chaining
+_NEXT_MASK = 0x0FFFFFFF
+_KLEN_EMPTY = 0xF
+
+
+def _i32(x: np.ndarray) -> np.ndarray:
+    return np.asarray(x, np.uint32).view(np.int32) if np.asarray(x).dtype != np.int32 else np.asarray(x)
+
+
+@dataclasses.dataclass
+class CsrStep:
+    depth: int                  # parent depth d; covers finals d+1..d+4
+    rows: np.ndarray            # int32 (num_rows, 3*W): triples (key, meta, pid)
+    chain: int                  # max continuation-chain length (extra gathers)
+
+
+@dataclasses.dataclass
+class CsrTables:
+    entry_rows: np.ndarray      # int32 (B, 3*E): triples (key4, 1<<28|idx, pid)
+    entry_lgb: int
+    entry_width: int            # E
+    steps: list[CsrStep]
+    max_len: int
+    hbm_bytes: int
+
+    @property
+    def arrays(self) -> list[np.ndarray]:
+        return [self.entry_rows] + [s.rows for s in self.steps]
+
+
+def build_csr_tables(automaton: Automaton) -> CsrTables | None:
+    """Build per-depth CSR tables from the sorted pattern pool.
+
+    Returns None when there are no length>=4 patterns (no deep tail)."""
+    a = automaton
+    pats = [bytes(p) for p in a.sorted_patterns]
+    pids = [int(x) for x in a.pattern_ids]
+    max_len = max((len(p) for p in pats), default=0)
+    if max_len < 4:
+        return None
+    final_of: dict[bytes, int] = {}
+    for p, pid in zip(pats, pids):
+        final_of[p] = pid            # duplicate pattern: later sorted ID wins
+
+    long_pats = [p for p in pats if len(p) >= 4]
+
+    def prefixes(d: int) -> list[bytes]:
+        return sorted({p[:d] for p in long_pats if len(p) >= d})
+
+    # compact indices at depths 4, 8, 12, ... (1-based; row 0 = empty)
+    idx_at: dict[int, dict[bytes, int]] = {}
+    d = 4
+    while True:
+        ps = prefixes(d)
+        if not ps:
+            break
+        idx_at[d] = {q: i + 1 for i, q in enumerate(ps)}
+        d += 4
+
+    # ---- entry: bucketed hash over depth-4 prefixes
+    e4 = idx_at[4]
+    n4 = len(e4)
+    lgb = max(3, int(np.ceil(np.log2(n4 * 2))))
+    b = 1 << lgb
+    buckets: list[list[tuple[int, int, int]]] = [[] for _ in range(b)]
+    for q, idx in e4.items():
+        key4 = int.from_bytes(q, "big")
+        pid = final_of.get(q, 0)
+        bk = ((key4 * ENTRY_MUL) & 0xFFFFFFFF) >> (32 - lgb)
+        buckets[bk].append((key4, (1 << 28) | idx, pid))
+    e_width = max(1, max(len(x) for x in buckets))
+    entry = np.zeros((b, 3 * e_width), np.int64)
+    for bk, items in enumerate(buckets):
+        for j, (k, m, pid) in enumerate(items):
+            entry[bk, 3 * j:3 * j + 3] = [np.int64(np.int32(np.uint32(k))),
+                                          m, pid]
+    entry_rows = entry.astype(np.int32)
+
+    # ---- steps
+    steps: list[CsrStep] = []
+    d = 4
+    while d in idx_at:
+        parents = idx_at[d]
+        nxt = idx_at.get(d + 4, {})
+        # collect entries per parent
+        per: dict[int, list[tuple[int, int, int]]] = {}
+        # finals at depths d+1..d+4
+        for k in range(1, 5):
+            for q in {p[:d + k] for p in long_pats if len(p) == d + k}:
+                pid = final_of.get(q)
+                if not pid:
+                    continue
+                s = parents.get(q[:d])
+                if s is None:
+                    continue
+                key = int.from_bytes(q[d:d + k], "big")
+                per.setdefault(s, []).append((key, k << 28, pid))
+        # transitions to depth d+4 (merge with the k=4 final when present)
+        for q, nidx in nxt.items():
+            s = parents[q[:d]]
+            key = int.from_bytes(q[d:d + 4], "big")
+            lst = per.setdefault(s, [])
+            for j, (ek, em, ep) in enumerate(lst):
+                if (em >> 28) == 4 and ek == key:
+                    lst[j] = (ek, (4 << 28) | nidx, ep)
+                    break
+            else:
+                lst.append((key, (4 << 28) | nidx, 0))
+
+        # rows with continuation chaining for hot states
+        num_parents = len(parents)
+        empty_row = np.zeros(3 * W_ENTRIES, np.int64)
+        empty_row[1::3] = _KLEN_EMPTY << 28
+        rows_fixed = [empty_row.copy() for _ in range(num_parents + 1)]
+        overflow_rows: list[np.ndarray] = []
+        chain_max = 0
+        for s in range(1, num_parents + 1):
+            entries = per.get(s, [])
+            chain = 0
+            target = rows_fixed[s]
+            while len(entries) > W_ENTRIES:
+                # fill W-1 entries + a continuation pointer (klen=0)
+                head, entries = entries[:W_ENTRIES - 1], entries[W_ENTRIES - 1:]
+                for j, (k, m, pid) in enumerate(head):
+                    target[3 * j:3 * j + 3] = [np.int64(np.int32(np.uint32(k))), m, pid]
+                cont_idx = num_parents + 1 + len(overflow_rows)
+                target[3 * (W_ENTRIES - 1):3 * W_ENTRIES] = [0, cont_idx, 0]
+                nrow = empty_row.copy()
+                overflow_rows.append(nrow)
+                target = nrow
+                chain += 1
+            for j, (k, m, pid) in enumerate(entries):
+                target[3 * j:3 * j + 3] = [np.int64(np.int32(np.uint32(k))), m, pid]
+            chain_max = max(chain_max, chain)
+        all_rows = np.stack(rows_fixed + overflow_rows) if overflow_rows \
+            else np.stack(rows_fixed)
+        steps.append(CsrStep(depth=d, rows=all_rows.astype(np.int32),
+                             chain=chain_max))
+        d += 4
+
+    t = CsrTables(entry_rows=entry_rows, entry_lgb=lgb, entry_width=e_width,
+                  steps=steps, max_len=max_len, hbm_bytes=0)
+    t.hbm_bytes = sum(x.size for x in t.arrays) * 4
+    return t
+
+
+# --------------------------------------------------------------------------
+# host oracle (mirrors the device probe bit-for-bit; tests + debugging)
+# --------------------------------------------------------------------------
+
+def csr_oracle_walk(t: CsrTables, data: bytes, pos: int, n: int) -> int:
+    """Longest length>=4 match ID starting at pos, else 0."""
+    maxd = n - pos
+    if maxd < 4:
+        return 0
+    key4 = int.from_bytes(data[pos:pos + 4], "big")
+    bk = ((key4 * ENTRY_MUL) & 0xFFFFFFFF) >> (32 - t.entry_lgb)
+    row = t.entry_rows[bk]
+    state, match = 0, 0
+    for j in range(t.entry_width):
+        k, m, pid = (int(np.uint32(row[3 * j])), int(row[3 * j + 1]),
+                     int(row[3 * j + 2]))
+        if (m >> 28) == 1 and k == int(np.uint32(key4)):
+            state = m & _NEXT_MASK
+            if pid:
+                match = pid
+            break
+    for s in t.steps:
+        if state == 0:
+            break
+        d = s.depth
+        window = data[pos + d: pos + d + 4]
+        best_k, best_pid, nxt = 0, 0, 0
+        cur = state
+        for _ in range(s.chain + 1):
+            if cur == 0 or cur >= s.rows.shape[0]:
+                break
+            row = s.rows[cur]
+            cont = 0
+            for j in range(W_ENTRIES):
+                k = int(np.uint32(row[3 * j]))
+                m = int(row[3 * j + 1])
+                pid = int(row[3 * j + 2])
+                klen = (m >> 28) & 0xF
+                if klen == 0 and (m & _NEXT_MASK):
+                    cont = m & _NEXT_MASK
+                    continue
+                if klen < 1 or klen > 4 or maxd < d + klen or len(window) < klen:
+                    continue
+                kv = int.from_bytes(window[:klen], "big")
+                if kv != k:
+                    continue
+                if pid and klen >= best_k:
+                    best_k, best_pid = klen, pid
+                if klen == 4 and (m & _NEXT_MASK):
+                    nxt = m & _NEXT_MASK
+            cur = cont
+        if best_pid:
+            match = best_pid
+        state = nxt
+    return match
+
+
+# --------------------------------------------------------------------------
+# device walk
+# --------------------------------------------------------------------------
+
+def _probe_step(rows_dev, state, k1, k2, k3, k4, maxd, d, chain, match):
+    """One CSR step for a lane vector: row gather + in-row compares.
+
+    Returns (next_state, match'). All shapes (cap,)."""
+    w3 = rows_dev.shape[1]
+    nxt = jnp.zeros_like(state)
+    best_k = jnp.zeros_like(state)
+    best_pid = jnp.zeros_like(state)
+    cur = state
+    for _ in range(chain + 1):
+        row = jnp.take(rows_dev, jnp.clip(cur, 0, rows_dev.shape[0] - 1),
+                       axis=0)                       # (cap, 3W) row gather
+        row = jnp.where((cur > 0)[:, None], row, 0)
+        cont = jnp.zeros_like(state)
+        for j in range(w3 // 3):
+            key, meta, pid = row[:, 3 * j], row[:, 3 * j + 1], row[:, 3 * j + 2]
+            klen = (meta >> 28) & 0xF
+            nxt_j = meta & _NEXT_MASK
+            kcmp = jnp.where(klen == 1, k1,
+                             jnp.where(klen == 2, k2,
+                                       jnp.where(klen == 3, k3, k4)))
+            hit = (key == kcmp) & (klen >= 1) & (klen <= 4) \
+                & (maxd >= d + klen)
+            fin = hit & (pid > 0)
+            upd = fin & (klen >= best_k)
+            best_k = jnp.where(upd, klen, best_k)
+            best_pid = jnp.where(upd, pid, best_pid)
+            nxt = jnp.where(hit & (klen == 4) & (nxt_j > 0), nxt_j, nxt)
+            cont = jnp.where((klen == 0) & (nxt_j > 0), nxt_j, cont)
+        cur = cont
+    match = jnp.where(best_pid > 0, best_pid, match)
+    return nxt, match

@@ -315,20 +315,28 @@ def build_exact_wide2(keys: np.ndarray, values: np.ndarray) -> tuple[ChdTable, n
     return t, key_words.view(np.int32)
 
 
-def build_resid2(keys: np.ndarray) -> ChdTable:
-    """Fused residual filter: stored residual = low 16 bits of the probe
-    product (no separate residual hash), 2 per int32 word."""
+def build_resid2(keys: np.ndarray, bits: int = 16) -> ChdTable:
+    """Fused residual filter: stored residual = low `bits` bits of the
+    probe product (no separate residual hash), packed 32//bits per word.
+
+    bits=16 (FP ~2^-16) is the default; bits=8 (FP ~2^-8, half the probe
+    planes) pays off for large key sets where the plane scan dominates
+    the false-positive walk cost (see pallas_sieve._RESID8_THRESHOLD)."""
+    assert bits in (8, 16)
+    per_word = 32 // bits
+    mask = np.uint32((1 << bits) - 1)
     keys = np.asarray(keys, dtype=np.uint32)
     assert keys.size > 0
     disp, slot_of, r, b, salt = _build(keys, fused=True)
     _, _, resid_of = _h_fused(keys, b, r, salt)
-    resid = np.full(r, 0x5555, dtype=np.uint32)
-    resid[slot_of] = resid_of.astype(np.uint32)
-    words = np.zeros(r // 2, dtype=np.uint32)
-    words |= resid[0::2]
-    words |= resid[1::2] << np.uint32(16)
+    resid = np.full(r, np.uint32(0x5555) & mask, dtype=np.uint32)
+    resid[slot_of] = resid_of.astype(np.uint32) & mask
+    words = np.zeros(r // per_word, dtype=np.uint32)
+    for j in range(per_word):
+        words |= resid[j::per_word] << np.uint32(bits * j)
     return ChdTable(disp=disp, slot_words=words.astype(np.int32),
-                    num_buckets=b, num_slots=r, kind="resid2", salt=salt)
+                    num_buckets=b, num_slots=r, kind=f"resid2_{bits}",
+                    salt=salt)
 
 
 def _fused_slot(t: ChdTable, key: int) -> tuple[int, int]:
@@ -359,10 +367,12 @@ def lookup_exact_wide2(t: ChdTable, key_words: np.ndarray, key: int) -> int:
 
 
 def lookup_resid2(t: ChdTable, key: int) -> bool:
+    bits = 8 if t.kind.endswith("_8") else 16
+    per_word = 32 // bits
     slot, resid = _fused_slot(t, key)
-    w = int(np.uint32(t.slot_words[slot // 2]))
-    stored = (w >> (16 * (slot % 2))) & 0xFFFF
-    return stored == resid
+    w = int(np.uint32(t.slot_words[slot // per_word]))
+    stored = (w >> (bits * (slot % per_word))) & ((1 << bits) - 1)
+    return stored == (resid & ((1 << bits) - 1))
 
 
 def _search_nodisp_mul(keys: np.ndarray, r: int, tries: int = 1 << 17) -> int | None:
