@@ -29,9 +29,11 @@ compaction 53 ms. The sieve removes all three bottlenecks:
   0.12 G elem/s on this chip). Survivors are walked to full depth by the
   Pallas walk engine (backends/pallas_walk.py) over depth-sliced exact
   CHD tables, in one straight-line program for every survivor density
-  (one light round + a while_loop of 64K rounds). The pre-walker staged
-  XLA tail remains only as the fallback for rulesets the walk tables
-  can't encode (pattern IDs or per-depth state counts >= 2^16).
+  (one light round + a while_loop of 64K rounds). Rulesets the walk
+  tables can't encode (pattern IDs or per-depth state counts >= 2^16, or
+  tables past the VMEM budget) walk via the CSR row-gather engine
+  (backends/xla_csr.py) instead — HBM-resident per-depth CSR rows at
+  ~5 ns/row, the big-automaton tier.
 
 Output contract matches the reference exactly: result[i] = ID of the
 longest pattern starting at byte i, else 0 (PFAC_matchFromHost,
@@ -50,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import chd
 from ..core.automaton import Automaton
 from ..status import PfacError, PfacStatus
-from .xla import dense_device_table, _rank_rows, _to_u8
+from .xla import _rank_rows, _to_u8
 
 LANES = 128
 TILE_ROWS = 512                # positions per grid step = TILE_ROWS * 128
@@ -486,7 +488,11 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     lane_iota = jnp.arange(LANES, dtype=jnp.int32)[None, :]
     onehot_l = lane_iota == lane[:, None]
     pos = blk * 1024 + sbit * 128 + lane
-    pos = jnp.where(q <= count, pos, npad)
+    # padding entries are DISTINCT ascending out-of-range values
+    # (npad, npad+1, ...): scatters drop them, and the whole pos vector
+    # stays sorted-unique so result scatters can carry
+    # indices_are_sorted/unique_indices (~6x faster XLA scatter lowering)
+    pos = jnp.where(q <= count, pos, npad + (q - 1 - count))
     if vals2d is None:
         return pos, count
     vrow = jnp.minimum(blk * 8 + sbit, vals2d.shape[0] - 1)
@@ -545,41 +551,6 @@ def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
     return ids[:npad], pos[:npad], count
 
 
-def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
-               initial_state, stage1_depth=8):
-    """Exact re-walk of survivor positions from scratch over the dense
-    table. Stage 1 runs a fixed fori to `stage1_depth`; the rare deeper
-    walks continue in a while_loop with tile-wide early exit."""
-    cap = pos.shape[0]
-
-    def step(d, state, match):
-        j = pos + d
-        byte = jnp.take(data_u8, jnp.minimum(j, data_u8.shape[0] - 1)).astype(jnp.int32)
-        ch = jnp.where(j < n, byte, 256)
-        state = jnp.take(dense_flat, state * 257 + ch)
-        match = jnp.where((state > 0) & (state <= num_final), state, match)
-        return state, match
-
-    state = jnp.full(cap, initial_state, dtype=jnp.int32)
-    match = jnp.zeros(cap, dtype=jnp.int32)
-    d1 = min(max_len, stage1_depth)
-    state, match = jax.lax.fori_loop(
-        0, d1, lambda d, sm: step(d, *sm), (state, match)
-    )
-    if max_len > d1:
-        def cond(sc):
-            d, state, _ = sc
-            return jnp.logical_and(d < max_len, jnp.any(state > 0))
-
-        def body(sc):
-            d, state, match = sc
-            state, match = step(d, state, match)
-            return d + 1, state, match
-
-        _, state, match = jax.lax.while_loop(cond, body, (jnp.int32(d1), state, match))
-    return match
-
-
 # --------------------------------------------------------------------------
 # Heavy regime: match-dense corpora where survivors exceed CAP_MID
 # (the reference's "virus-dense" worst case, PFAC_hash_draft.pdf Table 5).
@@ -591,15 +562,15 @@ def _tail_walk(dense_flat, data_u8, pos, n, *, max_len, num_final,
 # --------------------------------------------------------------------------
 
 HEAVY_CAP = 1 << 16     # survivor ranks per heavy round
-CAP_MID = 1 << 16       # mid fused-tail capacity (also the heavy threshold)
 # depth stages with survivor-fraction headroom for realistic length mixes
-# (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.005)
+# (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.005);
+# consumed by the CSR row-gather walker (backends.xla_csr)
 _HEAVY_D1 = 16          # all survivors walk this far
 _HEAVY_B_FRAC = 4       # then <= 3/4 cap continue ...
 _HEAVY_D2 = 48          # ... to here
 _HEAVY_C_FRAC = 4       # then <= cap/4 continue ...
 _HEAVY_D3 = 112         # ... to here
-_HEAVY_E_FRAC = 16      # then <= cap/16 continue to max_len in a while loop
+_HEAVY_E_FRAC = 16      # then <= cap/16 continue to max_len in cond-guarded steps
 
 
 def _rank_select(flags: jax.Array, cap_out: int):
@@ -621,173 +592,33 @@ def _rank_select(flags: jax.Array, cap_out: int):
     return idx, cnt
 
 
-def _build_heavy_round(automaton: Automaton, npad: int):
-    """One survivor-rank round: compact ranks (off, off+HEAVY_CAP], walk
-    them depth-staged, scatter exact results into `result`.
-
-    Returns (result', overflow) — overflow != 0 means a stage's active-set
-    capacity was exceeded and the caller must use the fallback engine."""
-    a = automaton
-    cap = HEAVY_CAP
-    d1 = min(a.max_pattern_len, _HEAVY_D1)
-    d2 = min(a.max_pattern_len, _HEAVY_D2)
-
-    def round_fn(dense_flat, data_u8, n_arr, bits, result, off):
-        n = n_arr[0]
-
-        def step(d, state, match, pos_v):
-            j = pos_v + d
-            byte = jnp.take(data_u8, jnp.minimum(j, data_u8.shape[0] - 1)
-                            ).astype(jnp.int32)
-            ch = jnp.where(j < n, byte, 256)
-            state = jnp.take(dense_flat, state * 257 + ch)
-            match = jnp.where((state > 0) & (state <= a.num_final_states),
-                              state, match)
-            return state, match
-
-        def walk4(d0, d_end, state, match, pos_v):
-            """fori with a 4-step body: per-iteration loop overhead on this
-            chip (~0.2 ms) dwarfs the take cost at narrow widths."""
-            span = d_end - d0
-            def body4(i, sm):
-                st, m = sm
-                for u in range(4):
-                    st, m = step(d0 + i * 4 + u, st, m, pos_v)
-                return st, m
-            state, match = jax.lax.fori_loop(0, span // 4, body4, (state, match))
-            for d in range(d0 + (span // 4) * 4, d_end):
-                state, match = step(d, state, match, pos_v)
-            return state, match
-
-        pos, _ = _compact(bits, cap, npad, rank_offset=off)
-
-        # stage A: every survivor walks to depth d1
-        state = jnp.full(cap, a.initial_state, jnp.int32)
-        match = jnp.zeros(cap, jnp.int32)
-        state, match = walk4(0, d1, state, match, pos)
-
-        overflow = jnp.int32(0)
-        capB = (cap * 3) // _HEAVY_B_FRAC
-        capC = cap // _HEAVY_C_FRAC
-        if a.max_pattern_len > d1:
-            # stage B: compact still-alive lanes to 3/4 cap and continue.
-            # A pruned (dead) lane's walk is complete, so its match is final.
-            idxB, cntB = _rank_select(state > 0, capB)
-            overflow = overflow | (cntB > capB).astype(jnp.int32)
-            valB = idxB < cap
-            posB = jnp.where(valB, jnp.take(pos, jnp.minimum(idxB, cap - 1)),
-                             npad)
-            stB = jnp.where(valB,
-                            jnp.take(state, jnp.minimum(idxB, cap - 1)), 0)
-            mB = jnp.zeros(capB, jnp.int32)
-            stB, mB = walk4(d1, d2, stB, mB, posB)
-            if a.max_pattern_len > d2:
-                # stage C: cap/4 lanes continue to d3
-                idxC, cntC = _rank_select(stB > 0, capC)
-                overflow = overflow | (cntC > capC).astype(jnp.int32)
-                valC = idxC < capB
-                posC = jnp.where(valC,
-                                 jnp.take(posB, jnp.minimum(idxC, capB - 1)),
-                                 npad)
-                stC = jnp.where(valC,
-                                jnp.take(stB, jnp.minimum(idxC, capB - 1)), 0)
-                mC = jnp.zeros(capC, jnp.int32)
-                d3 = min(a.max_pattern_len, _HEAVY_D3)
-                stC, mC = walk4(d2, d3, stC, mC, posC)
-                if a.max_pattern_len > d3:
-                    # stage E: the very deepest walks, cap/16 lanes,
-                    # while-loop with early exit to max_len
-                    capE = cap // _HEAVY_E_FRAC
-                    idxE, cntE = _rank_select(stC > 0, capE)
-                    overflow = overflow | (cntE > capE).astype(jnp.int32)
-                    valE = idxE < capC
-                    posE = jnp.where(valE,
-                                     jnp.take(posC, jnp.minimum(idxE, capC - 1)),
-                                     npad)
-                    stE = jnp.where(valE,
-                                    jnp.take(stC, jnp.minimum(idxE, capC - 1)), 0)
-                    mE = jnp.zeros(capE, jnp.int32)
-
-                    def cond(sc):
-                        d, st, _ = sc
-                        return jnp.logical_and(d < a.max_pattern_len,
-                                               jnp.any(st > 0))
-
-                    def body(sc):
-                        d, st, m = sc
-                        for u in range(4):   # 4 steps/iteration (overhead)
-                            st, m = step(d + u, st, m, posE)
-                        return d + 4, st, m
-
-                    _, stE, mE = jax.lax.while_loop(
-                        cond, body, (jnp.int32(d3), stE, mE))
-                    mC = mC.at[jnp.where(mE > 0, idxE, capC)].set(
-                        mE, mode="drop")
-                # a deeper final overrides (longest match); merge only
-                # lanes that actually matched deeper
-                mB = mB.at[jnp.where(mC > 0, idxC, capB)].set(
-                    mC, mode="drop")
-            match = match.at[jnp.where(mB > 0, idxB, cap)].set(
-                mB, mode="drop")
-
-        result = result.at[pos].set(match, mode="drop")
-        return result, overflow
-
-    return round_fn
-
-
-def _build_heavy_all(automaton: Automaton, npad: int):
-    """All survivor-rank rounds inside one program: a while_loop over
-    offsets of HEAVY_CAP until `count` ranks are processed. Usable under
-    jit and inside shard_map (no host round loop)."""
-    round_fn = _build_heavy_round(automaton, npad)
-
-    def run(dense_flat, data_u8, n_arr, bits, matches, count):
-        def cond(s):
-            i, _, _ = s
-            return i * HEAVY_CAP < count
-
-        def body(s):
-            i, result, ovf = s
-            result, o = round_fn(dense_flat, data_u8, n_arr, bits, result,
-                                 i * HEAVY_CAP)
-            return i + 1, result, ovf | o
-
-        _, result, ovf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), matches, jnp.int32(0)))
-        return result, ovf
-
-    return run
-
-
 def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                    npad: int, cap: int, interpret: bool = False,
                    kernel_only: bool = False, aligned: bool = False,
                    tile_rows: int = TILE_ROWS, walk_tables=None,
-                   force_branch: int | None = None, unroll: int = UNROLL):
+                   csr_tables=None, unroll: int = UNROLL):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
         run(table_args, dense_flat, data_u8, n_arr) -> (result, count, ovf)
 
-    `table_args` is the sieve kernel's plane arrays followed by the
-    survivor-walk engine's (walk_tables.arrays) when walk_tables is given
-    — the split is static. Not jitted — callable directly, under jax.jit,
+    `table_args` is the sieve kernel's plane arrays followed by the deep
+    engine's (walk_tables.arrays when given, else csr_tables.arrays) —
+    the split is static. Not jitted — callable directly, under jax.jit,
     or inside shard_map (the distributed matcher runs it per shard with a
     ppermute halo). `n_arr` is a (1,) int32 giving the true byte count;
     positions at or past it report 0 and never match. With aligned=True
     the caller guarantees len(data_u8) == npad, skipping the
     padded-buffer copy (the lookahead halo comes from a separate zero
     block instead).
+
+    The deep tail is the Pallas survivor-walk engine when the ruleset's
+    walk tables exist (Snort-scale; exact, no stage capacities), else the
+    CSR row-gather walker (backends.xla_csr — big/wide rulesets; staged
+    capacities set the deferred overflow flag). `dense_flat` is unused by
+    either tail and may be a dummy; it remains in the signature for the
+    callers' stable arity.
     """
-    if force_branch is not None and walk_tables is not None:
-        # force_branch selects among the XLA fallback branches only; the
-        # walker pipeline has no branches to force — silently returning it
-        # would hand a profiling caller the wrong program
-        raise PfacError(
-            PfacStatus.INVALID_PARAMETER,
-            "force_branch requires walk_tables=None (XLA fallback pipeline)",
-        )
     if tile_rows % 64 or tile_rows <= 0:
         raise PfacError(
             PfacStatus.INVALID_PARAMETER,
@@ -904,7 +735,12 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             # straight-line form pays only one in-place scatter.
             cl = min(-(-cap // GROUP) * GROUP, npad)
             pos0, merged0 = walker_round(get_walkfn(cl), cl, 0)
-            result = matches.at[pos0].set(merged0, mode="drop")
+            # pos vectors from _compact are sorted and unique (padding is
+            # distinct out-of-range): the sorted/unique scatter lowering
+            # is ~6x faster on TPU (measured: 5.9 -> <1 ms per 64K round)
+            result = matches.at[pos0].set(
+                merged0, mode="drop", indices_are_sorted=True,
+                unique_indices=True)
 
             hc = min(-(-HEAVY_CAP // GROUP) * GROUP, npad)
             heavy_walkfn = get_walkfn(hc)
@@ -916,43 +752,53 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             def body(s):
                 i, res = s
                 pos, merged = walker_round(heavy_walkfn, hc, cl + i * hc)
-                return i + 1, res.at[pos].set(merged, mode="drop")
+                return i + 1, res.at[pos].set(
+                    merged, mode="drop", indices_are_sorted=True,
+                    unique_indices=True)
 
             _, result = jax.lax.while_loop(cond, body, (jnp.int32(0), result))
             return result, count, jnp.int32(0)
         else:
-            # Fallback staged XLA walkers (elementwise gathers): only for
-            # rulesets the walk tables can't encode (pattern IDs or
-            # per-depth state counts >= 2^16)
-            def fused_tail(c):
-                """Survivors fit capacity c: one compaction + staged walk."""
-                def branch(m):
-                    pos, _ = _compact(bits, c, npad)
-                    tail = _tail_walk(
-                        dense_flat, data_u8, pos, n_arr[0],
-                        max_len=a.max_pattern_len,
-                        num_final=a.num_final_states,
-                        initial_state=a.initial_state,
-                    )
-                    return m.at[pos].set(tail, mode="drop"), jnp.int32(0)
-                return branch
+            # ---- CSR row-gather walker (backends.xla_csr): big/wide
+            # rulesets (pattern IDs or per-depth state counts >= 2^16, or
+            # walk tables past the VMEM budget). Rounds of hc ranks in one
+            # while_loop; only positive deep matches scatter, so the
+            # kernel's exact depth-1..3 results survive the merge.
+            if csr_tables is None:
+                raise PfacError(
+                    PfacStatus.INTERNAL_ERROR,
+                    "pipeline needs walk_tables or csr_tables for the "
+                    "deep tail",
+                )
+            from .pallas_walk import GROUP
+            from .xla_csr import build_csr_walker
 
-            heavy = _build_heavy_all(a, npad)
+            hc = min(-(-HEAVY_CAP // GROUP) * GROUP, npad)
+            csr_walkfn = build_csr_walker(csr_tables, cap=hc,
+                                          interpret=interpret)
 
-            def heavy_branch(m):
-                return heavy(dense_flat, data_u8, n_arr, bits, m, count)
+            def cond(s):
+                i, _, _ = s
+                return i * hc < count
 
-            branches = [fused_tail(cap), fused_tail(CAP_MID), heavy_branch]
+            out2d = matches.reshape(-1, LANES)
 
-        # 0: light (typical corpora), 1: mid, 2: heavy rounds — one program
-        # handles every survivor density; no host-side capacity retries
-        if force_branch is not None:        # profiling/debug only
-            result, overflow = branches[force_branch](matches)
+            def body(s):
+                i, res, ovf = s
+                pos, _, kvals = _compact(bits, hc, npad, rank_offset=i * hc,
+                                         bcum=bcum, vals2d=out2d)
+                merged, o = csr_walkfn(list(walk_args), data2d, pos, n_arr)
+                # deep match overrides; else rewrite the kernel's own
+                # depth-1..3 value — keeps pos sorted-unique (masking pos
+                # instead would interleave out-of-range values)
+                res = res.at[pos].set(
+                    jnp.where(merged > 0, merged, kvals), mode="drop",
+                    indices_are_sorted=True, unique_indices=True)
+                return i + 1, res, ovf | o
+
+            _, result, overflow = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), matches, jnp.int32(0)))
             return result, count, overflow
-        idx = ((count > cap).astype(jnp.int32)
-               + (count > CAP_MID).astype(jnp.int32))
-        result, overflow = jax.lax.switch(idx, branches, matches)
-        return result, count, overflow
 
     return run
 
@@ -999,13 +845,19 @@ class SieveMatcher:
         self.tables = SieveTables.build(automaton)
         self.walk_tables = build_walk_tables_gated(
             automaton, self.tables)
+        self.csr_tables = None
+        if self.walk_tables is None and self.tables.alive is not None:
+            # big/wide ruleset: the CSR row-gather walker serves the tail
+            from .xla_csr import build_csr_tables
+            self.csr_tables = build_csr_tables(automaton)
+        deep = (self.walk_tables.arrays if self.walk_tables is not None
+                else self.csr_tables.arrays if self.csr_tables is not None
+                else [])
         put = lambda x: jax.device_put(jnp.asarray(x), device)
-        self._table_args = [
-            put(a) for a in
-            self.tables.arrays + (self.walk_tables.arrays
-                                  if self.walk_tables is not None else [])
-        ]
-        self._dense_flat = put(dense_device_table(automaton).reshape(-1))
+        self._table_args = [put(a) for a in self.tables.arrays + deep]
+        # neither deep tail reads the dense table; a 1-element dummy keeps
+        # the pipeline arity (a 100K-pattern dense table would be GBs)
+        self._dense_flat = put(np.zeros(1, np.int32))
         self._fns: dict = {}
         self._cap = 1 << 12
         self._pending: list = []
@@ -1031,6 +883,7 @@ class SieveMatcher:
                 self.automaton, self.tables, npad=npad, cap=cap,
                 interpret=self.interpret, aligned=aligned,
                 tile_rows=self.tile_rows, walk_tables=self.walk_tables,
+                csr_tables=self.csr_tables,
             ))
             self._fns[key] = fn
         return fn
@@ -1046,7 +899,9 @@ class SieveMatcher:
         (positions at or past n report 0)."""
         if n is None:
             n = int(data_u8.shape[0])
-        if n > (1 << 31) - (1 << 17):
+        # margin covers npad rounding + _compact's distinct out-of-range
+        # padding (npad + cap - 1 must stay within int32)
+        if n > (1 << 31) - (1 << 20):
             raise PfacError(
                 PfacStatus.INVALID_PARAMETER,
                 "input exceeds int32 position range; shard it "

@@ -517,6 +517,56 @@ def prepare_windows(data2d_u8: jax.Array, pos: jax.Array, w_raw: int):
             .reshape(g * w_raw * 8, LANES))
 
 
+def _make_align_kernel(w_out: int):
+    """Word-align gathered windows: out[w] = raw[(pos%128)//4 + w] per
+    lane (a 32-way static-row select). The byte-in-word offset (pos%4)
+    stays with the caller — XLA extracts bytes with per-lane variable
+    shifts, which the VPU does natively."""
+    def kernel(pos_ref, raw_ref, out_ref):
+        pos = pos_ref[:]
+        wv = (pos & (ROW_BYTES - 1)) >> 2
+        for w in range(w_out):
+            acc = raw_ref[w * 8:(w + 1) * 8, :]
+            for s in range(1, ROW_WORDS):
+                acc = jnp.where(wv == s,
+                                raw_ref[(w + s) * 8:(w + s + 1) * 8, :], acc)
+            out_ref[w * 8:(w + 1) * 8, :] = acc
+    return kernel
+
+
+def build_align(*, cap: int, w_out: int, interpret: bool = False):
+    """run(data2d_u8, pos) -> aligned int32 (cap//1024 * w_out * 8, 128).
+
+    Word w of survivor g*1024+s*128+l sits at row (g*w_out + w)*8 + s;
+    byte j of a survivor's window = (word[(ob+j)>>2] >> 8*((ob+j)&3))
+    & 0xFF with ob = pos & 3 (LE words). Used by the CSR row-gather
+    walker (backends.xla_csr), which needs whole word columns in XLA."""
+    assert cap % GROUP == 0
+    g = cap // GROUP
+    w_raw = -(-(w_out + ROW_WORDS - 1) // ROW_WORDS) * ROW_WORDS
+    kernel = _make_align_kernel(w_out)
+    in_specs = [
+        pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w_raw * 8, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def run(data2d_u8, pos):
+        raw = prepare_windows(data2d_u8, pos, w_raw)
+        pos2d = pos.reshape(g * 8, LANES)
+        return pl.pallas_call(
+            kernel,
+            grid=(g,),
+            out_shape=jax.ShapeDtypeStruct((g * w_out * 8, LANES), jnp.int32),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((w_out * 8, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(pos2d, raw)
+
+    return run
+
+
 def build_walker(tables: WalkTables, *, cap: int, interpret: bool = False,
                  sieve_tables=None):
     """run(walk_args, data2d_u8, pos, n_arr) -> match int32[cap].

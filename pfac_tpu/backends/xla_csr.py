@@ -254,6 +254,35 @@ def csr_oracle_walk(t: CsrTables, data: bytes, pos: int, n: int) -> int:
 # device walk
 # --------------------------------------------------------------------------
 
+def _byte_reader(aligned, ob, g, w_out):
+    """aligned: (g*w_out*8, 128) word-aligned windows (pallas_walk.
+    build_align layout); ob = pos & 3. byte(j) -> (cap,) int32."""
+    a4 = aligned.reshape(g, w_out, 8, 128)
+
+    def byte(j):
+        idx = ob + (j & 3)                      # in [0, 7)
+        wA = a4[:, (j >> 2)].reshape(-1)
+        wB = a4[:, (j >> 2) + 1].reshape(-1)
+        wsel = jnp.where(idx >= 4, wB, wA)
+        return (wsel >> ((idx & 3) * 8)) & 0xFF
+
+    return byte
+
+
+def _entry_probe(entry_rows, lgb, e_width, key4, maxd):
+    prod = key4 * jnp.int32(np.int32(np.uint32(ENTRY_MUL)))
+    bk = jax.lax.shift_right_logical(prod, 32 - lgb)
+    row = jnp.take(entry_rows, bk, axis=0)       # (cap, 3E) row gather
+    state = jnp.zeros_like(key4)
+    match = jnp.zeros_like(key4)
+    for j in range(e_width):
+        k, m, pid = row[:, 3 * j], row[:, 3 * j + 1], row[:, 3 * j + 2]
+        hit = (k == key4) & ((m >> 28) == 1) & (maxd >= 4)
+        state = jnp.where(hit, m & _NEXT_MASK, state)
+        match = jnp.where(hit & (pid > 0), pid, match)
+    return state, match
+
+
 def _probe_step(rows_dev, state, k1, k2, k3, k4, maxd, d, chain, match):
     """One CSR step for a lane vector: row gather + in-row compares.
 
@@ -286,3 +315,144 @@ def _probe_step(rows_dev, state, k1, k2, k3, k4, maxd, d, chain, match):
         cur = cont
     match = jnp.where(best_pid > 0, best_pid, match)
     return nxt, match
+
+
+# --------------------------------------------------------------------------
+# staged walker
+# --------------------------------------------------------------------------
+
+def _stage_wout(n_bytes: int) -> int:
+    """Aligned-window words needed to read relative bytes [0, n_bytes)."""
+    return ((n_bytes - 1) >> 2) + 2
+
+
+def build_csr_walker(t: CsrTables, *, cap: int, interpret: bool = False):
+    """run(csr_args, data2d_u8, pos, n_arr) -> (match int32[cap], overflow).
+
+    csr_args = [entry_rows, step0.rows, step1.rows, ...] on device.
+    pos padding entries must be >= n (they walk nothing). Capacity-staged
+    like the legacy heavy walker; overflow != 0 means a stage capacity
+    was exceeded and the result is incomplete (callers route to the
+    lockstep fallback)."""
+    from .pallas_sieve import (_HEAVY_D1, _HEAVY_D2, _HEAVY_D3,
+                               _HEAVY_B_FRAC, _HEAVY_C_FRAC, _HEAVY_E_FRAC,
+                               _rank_select)
+    from .pallas_walk import GROUP, build_align
+
+    assert cap % GROUP == 0
+    rnd = lambda x: max(GROUP, -(-x // GROUP) * GROUP)
+    shrink = cap > GROUP        # tiny caps (tests) skip capacity shrinking
+    capB = rnd(cap * 3 // _HEAVY_B_FRAC) if shrink else cap
+    capC = rnd(cap // _HEAVY_C_FRAC) if shrink else cap
+    capE = rnd(cap // _HEAVY_E_FRAC) if shrink else cap
+
+    d1 = min(t.max_len, _HEAVY_D1)
+    d2 = min(t.max_len, _HEAVY_D2)
+    d3 = min(t.max_len, _HEAVY_D3)
+    stA = [s for s in t.steps if s.depth < _HEAVY_D1]
+    stB = [s for s in t.steps if _HEAVY_D1 <= s.depth < _HEAVY_D2]
+    stC = [s for s in t.steps if _HEAVY_D2 <= s.depth < _HEAVY_D3]
+    stE = [s for s in t.steps if s.depth >= _HEAVY_D3]
+
+    wA = _stage_wout(min(t.max_len, d1))
+    alignA = build_align(cap=cap, w_out=wA, interpret=interpret)
+    alignB = alignC = alignE = None
+    if stB:
+        wB = _stage_wout(min(t.max_len, d2) - d1 + 4)
+        alignB = build_align(cap=capB, w_out=wB, interpret=interpret)
+    if stC:
+        wC = _stage_wout(min(t.max_len, d3) - d2 + 4)
+        alignC = build_align(cap=capC, w_out=wC, interpret=interpret)
+    if stE:
+        wE = _stage_wout(t.max_len - d3 + 4)
+        alignE = build_align(cap=capE, w_out=wE, interpret=interpret)
+
+    step_index = {s.depth: i for i, s in enumerate(t.steps)}
+
+    def run(csr_args, data2d_u8, pos, n_arr):
+        entry_rows = csr_args[0]
+        step_rows = list(csr_args[1:])
+        n = n_arr[0]
+
+        def walk(steps_sub, rows_by_step, state, match, byte, maxd,
+                 base_d, guarded):
+            for s in steps_sub:
+                rows_dev = rows_by_step[step_index[s.depth]]
+                d = s.depth
+
+                def do(sm, s=s, rows_dev=rows_dev, d=d):
+                    st, m = sm
+                    b1 = byte(d - base_d)
+                    b2 = byte(d - base_d + 1)
+                    b3 = byte(d - base_d + 2)
+                    b4 = byte(d - base_d + 3)
+                    k2 = (b1 << 8) | b2
+                    k3 = (k2 << 8) | b3
+                    k4 = (k3 << 8) | b4
+                    return _probe_step(rows_dev, st, b1, k2, k3, k4, maxd,
+                                       d, s.chain, m)
+
+                if guarded:
+                    state, match = jax.lax.cond(
+                        jnp.any(state > 0), do, lambda sm: sm, (state, match))
+                else:
+                    state, match = do((state, match))
+            return state, match
+
+        def prune(state, pos_v, cap_in, cap_out):
+            idx, cnt = _rank_select(state > 0, cap_out)
+            ovf = (cnt > cap_out).astype(jnp.int32)
+            val = idx < cap_in
+            posx = jnp.where(val, jnp.take(pos_v, jnp.minimum(idx, cap_in - 1)), n)
+            stx = jnp.where(val, jnp.take(state, jnp.minimum(idx, cap_in - 1)), 0)
+            return idx, posx, stx, ovf
+
+        # ---- stage A: entry + steps to depth d1, full cap
+        maxd = n - pos
+        alignedA = alignA(data2d_u8, pos)
+        byteA = _byte_reader(alignedA, pos & 3, cap // GROUP, wA)
+        b0, b1, b2, b3 = byteA(0), byteA(1), byteA(2), byteA(3)
+        key4 = (((((b0 << 8) | b1) << 8) | b2) << 8) | b3
+        state, match = _entry_probe(entry_rows, t.entry_lgb, t.entry_width,
+                                    key4, maxd)
+        state, match = walk(stA, step_rows, state, match, byteA, maxd, 0,
+                            False)
+        overflow = jnp.int32(0)
+        if stB:
+            idxB, posB, stB_v, ovf = prune(state, pos, cap, capB)
+            overflow |= ovf
+            alignedB = alignB(data2d_u8, posB + d1)
+            byteB = _byte_reader(alignedB, (posB + d1) & 3, capB // GROUP, wB)
+            maxdB = n - posB
+            mB = jnp.zeros(capB, jnp.int32)
+            stB_v, mB = walk(stB, step_rows, stB_v, mB, byteB, maxdB, d1,
+                             False)
+            if stC:
+                idxC, posC, stC_v, ovf = prune(stB_v, posB, capB, capC)
+                overflow |= ovf
+                alignedC = alignC(data2d_u8, posC + d2)
+                byteC = _byte_reader(alignedC, (posC + d2) & 3,
+                                     capC // GROUP, wC)
+                maxdC = n - posC
+                mC = jnp.zeros(capC, jnp.int32)
+                stC_v, mC = walk(stC, step_rows, stC_v, mC, byteC, maxdC,
+                                 d2, True)
+                if stE:
+                    idxE, posE, stE_v, ovf = prune(stC_v, posC, capC, capE)
+                    overflow |= ovf
+                    alignedE = alignE(data2d_u8, posE + d3)
+                    byteE = _byte_reader(alignedE, (posE + d3) & 3,
+                                         capE // GROUP, wE)
+                    maxdE = n - posE
+                    mE = jnp.zeros(capE, jnp.int32)
+                    _, mE = walk(stE, step_rows, stE_v, mE, byteE, maxdE,
+                                 d3, True)
+                    mC = mC.at[jnp.where(mE > 0, idxE, capC)].set(
+                        mE, mode="drop")
+                mB = mB.at[jnp.where(mC > 0, idxC, capB)].set(
+                    mC, mode="drop")
+            match = match.at[jnp.where(mB > 0, idxB, cap)].set(
+                mB, mode="drop")
+        return match, overflow
+
+    return run

@@ -127,14 +127,21 @@ class ShardedMatcher:
             self._sieve_tables = sieve.SieveTables.build(a)
             self._walk_tables = sieve.build_walk_tables_gated(
                 a, self._sieve_tables)
-            arrays = self._sieve_tables.arrays + (
-                self._walk_tables.arrays
-                if self._walk_tables is not None else [])
+            self._csr_tables = None
+            if self._walk_tables is None and self._sieve_tables.alive is not None:
+                from ..backends.xla_csr import build_csr_tables
+                self._csr_tables = build_csr_tables(a)
+            deep = (self._walk_tables.arrays
+                    if self._walk_tables is not None
+                    else self._csr_tables.arrays
+                    if self._csr_tables is not None else [])
             self._tables = tuple(
-                jax.device_put(jnp.asarray(x), rep) for x in arrays
+                jax.device_put(jnp.asarray(x), rep)
+                for x in self._sieve_tables.arrays + deep
             )
+            # neither deep tail reads the dense table (see SieveMatcher)
             self._dense_flat = jax.device_put(
-                jnp.asarray(dense_device_table(a).reshape(-1)), rep)
+                jnp.asarray(np.zeros(1, np.int32)), rep)
             return
 
         ps, pm = pair_tables(a)
@@ -183,7 +190,8 @@ class ShardedMatcher:
             a, self._sieve_tables,
             npad=sieve.npad_for(shard_len + halo, self.tile_rows),
             cap=1 << 12, interpret=self.interpret,
-            walk_tables=self._walk_tables, tile_rows=self.tile_rows,
+            walk_tables=self._walk_tables, csr_tables=self._csr_tables,
+            tile_rows=self.tile_rows,
         )
 
         def local_match(tables, dense_flat, data_local):
@@ -229,7 +237,8 @@ class ShardedMatcher:
             a, self._sieve_tables,
             npad=sieve.npad_for(shard_len + halo, self.tile_rows),
             cap=1 << 12, interpret=self.interpret,
-            walk_tables=self._walk_tables, tile_rows=self.tile_rows,
+            walk_tables=self._walk_tables, csr_tables=self._csr_tables,
+            tile_rows=self.tile_rows,
         )
 
         def local_reduce(tables, dense_flat, data_local):

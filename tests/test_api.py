@@ -226,13 +226,13 @@ class TestDeferredErrorDiscipline:
         from pfac_tpu.runtime import capi
         from pfac_tpu.status import PfacStatus
 
-        # shrink heavy-round geometry so a tiny corpus overflows stage B:
-        # all positions of "a"*600 stay alive past depth 16 for the 20-byte
-        # pattern, exceeding capB = 3/4 * HEAVY_CAP within one round.
-        # The walk engine has no stage capacities, so also disable it to
-        # exercise the fallback's deferred-overflow machinery.
-        monkeypatch.setattr(S, "HEAVY_CAP", 64)
-        monkeypatch.setattr(S, "CAP_MID", 64)
+        # shrink heavy-round geometry so a small corpus overflows the CSR
+        # walker's stage-B capacity: with HEAVY_CAP=4096, capB=3072, and
+        # every position of "a"*4500 stays alive past depth 16 for the
+        # 20-byte pattern — 4096 alive ranks in round one exceed capB.
+        # The VMEM walk engine has no stage capacities, so disable it to
+        # exercise the CSR tail's deferred-overflow machinery.
+        monkeypatch.setattr(S, "HEAVY_CAP", 4096)
         monkeypatch.setattr(S, "build_walk_tables_gated", lambda *a: None)
         h = [None]
         assert capi.PFAC_create(h) == PfacStatus.SUCCESS
@@ -256,9 +256,9 @@ class TestDeferredErrorDiscipline:
         from pfac_tpu.status import PfacStatus
 
         handle = self._overflowing_handle(monkeypatch)
-        d_input = jax.device_put(np.frombuffer(b"a" * 600, dtype=np.uint8))
+        d_input = jax.device_put(np.frombuffer(b"a" * 4500, dtype=np.uint8))
         d_out = []
-        st = capi.PFAC_matchFromDevice(handle, d_input, 600, d_out)
+        st = capi.PFAC_matchFromDevice(handle, d_input, 4500, d_out)
         assert st == PfacStatus.INTERNAL_ERROR
         assert d_out == []   # no incomplete result handed to the caller
 
@@ -271,7 +271,7 @@ class TestDeferredErrorDiscipline:
 
         handle = self._overflowing_handle(monkeypatch)
         eng = handle.matcher._engine()
-        d_input = jax.device_put(np.frombuffer(b"a" * 600, dtype=np.uint8))
+        d_input = jax.device_put(np.frombuffer(b"a" * 4500, dtype=np.uint8))
         eng.match_device(d_input)            # raw engine: check deferred
         assert capi.PFAC_synchronize(handle) == PfacStatus.INTERNAL_ERROR
         assert capi.PFAC_synchronize(handle) == PfacStatus.SUCCESS  # drained

@@ -234,11 +234,11 @@ class TestExactGridBoundaries:
 
 class TestHeavyRegime:
     def test_virus_dense_heavy_branch(self, monkeypatch):
-        # corpus of concatenated patterns: shrink the heavy threshold so
-        # the in-program heavy rounds run on a small corpus
+        # corpus of concatenated patterns: shrink the heavy round size so
+        # the in-program walker rounds loop on a small corpus
         import pfac_tpu.backends.pallas_sieve as S
 
-        monkeypatch.setattr(S, "CAP_MID", 256)
+        monkeypatch.setattr(S, "HEAVY_CAP", 1024)
         rng = np.random.default_rng(5)
         pats = []
         for _ in range(20):
