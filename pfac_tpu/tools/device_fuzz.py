@@ -15,19 +15,37 @@ import sys
 import numpy as np
 
 
-def _random_case(rng: np.random.Generator, heavy: bool = False):
+def _random_case(rng: np.random.Generator, heavy: bool = False,
+                 wide: bool = False):
     alpha = int(rng.integers(2, 257))
     k = int(rng.integers(1, 200))
     pats, seen = [], set()
     for _ in range(k):
-        ln = int(np.clip(rng.gamma(1.8, 4.0) + 1, 1, 64))
+        # heavy cases use the Snort length range (1-243): walker steps past
+        # depth 48/112 run COMPILED here, not just in interpret tests
+        ln = (int(np.clip(rng.gamma(2.2, 9.0) + 4, 4, 243)) if heavy
+              else int(np.clip(rng.gamma(1.8, 4.0) + 1, 1, 64)))
         p = bytes(rng.integers(0, alpha, size=ln).astype(np.uint8))
         if p not in seen:
             seen.add(p)
             pats.append(p)
+    if wide:
+        # > 32767 pattern IDs: wide m2/m3 encodings + the CSR row-gather
+        # deep tier on the compiled path
+        keys = rng.choice(1 << 16, size=33000, replace=False)
+        wpats = [bytes([kk >> 8, kk & 0xFF]) for kk in keys]
+        pats = wpats + [p for p in pats if len(p) >= 4][:50]
+        n = int(rng.integers(100_000, 400_000))
+        data = bytearray(rng.integers(0, 256, size=n)
+                         .astype(np.uint8).tobytes())
+        for _ in range(40):
+            p = pats[int(rng.integers(0, len(pats)))]
+            off = int(rng.integers(0, n - len(p) + 1))
+            data[off:off + len(p)] = p
+        return pats, bytes(data)
     if heavy:
         # virus-dense: the corpus is mostly pattern content; sized so the
-        # survivor count exceeds CAP_MID (64K) with production constants
+        # survivor count spans several compiled walker rounds (64K each)
         n = int(rng.integers(1_500_000, 3_000_000))
         chunks, sz = [], 0
         while sz < n:
@@ -59,7 +77,16 @@ def main(argv=None) -> int:
                     help="ALL cases virus-dense (default: every 5th case)")
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
+
+    # the remote-compile helper costs ~100 s/program on tunneled runtimes;
+    # fuzz compiles one pipeline per case, so cache hits matter
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/pfac_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from ..core.automaton import Automaton
     from ..backends import golden
@@ -69,10 +96,11 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed)
     for case in range(args.cases):
         # every 5th case is virus-dense at a size whose survivor count
-        # genuinely exceeds the heavy threshold (CAP_MID) — the compiled
-        # heavy/walker rounds run with NO monkeypatched constants
+        # spans several heavy walker rounds; every 7th is a wide-ID
+        # (CSR-tier) case — both run COMPILED, no monkeypatched constants
         heavy = args.heavy or case % 5 == 4
-        pats, data = _random_case(rng, heavy=heavy)
+        wide = (not heavy) and case % 7 == 3
+        pats, data = _random_case(rng, heavy=heavy, wide=wide)
         a = Automaton.from_patterns(pats)
         m = Matcher(automaton=a)
         got = m.match(data)
@@ -98,7 +126,8 @@ def main(argv=None) -> int:
                 print(f"SHARDED MISMATCH case={case} seed={args.seed}")
                 return 1
         nm = int((exp > 0).sum())
-        print(f"case {case:3d}: ok{' heavy' if heavy else ''}  "
+        kind = " heavy" if heavy else " wide" if wide else ""
+        print(f"case {case:3d}: ok{kind}  "
               f"engine={type(m._engine()).__name__} "
               f"k={len(pats)} n={len(data)} matches={nm}", flush=True)
     print("all cases passed")

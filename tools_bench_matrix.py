@@ -63,7 +63,13 @@ def main():
     n_arr = jnp.full((1,), n, jnp.int32)
     fn = m._pipeline_fn(S.npad_for(n), 4096, aligned=True)
     t = amortized(lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0])
-    emit("dense_random", n, t)
+    # kernel-only split for this geometry (VERDICT r2 #8): how each
+    # regime's milliseconds divide between the sieve kernel and the tail
+    kfn = jax.jit(S.build_pipeline(m.automaton, m.tables,
+                                   npad=S.npad_for(n), cap=4096,
+                                   aligned=True, kernel_only=True))
+    tk128 = amortized(lambda: kfn(m._table_args, m._dense_flat, dd, n_arr)[0])
+    emit("dense_random", n, t, {"kernel_ms": round(tk128 * 1e3, 2)})
 
     # --- DEFCON-like: text traffic with ~1.5% planted pattern content.
     # Survivor count (~90K/128MB) exceeds the heavy threshold; the
@@ -89,7 +95,7 @@ def main():
     nm = int((golden.match_dense(a, s) > 0).sum())
     emit("defcon_like_1.5pct", n, t,
          {"survivors": cnt2, "slice_matches_per_MB": nm,
-          "reference_GBps": 15.4})
+          "reference_GBps": 15.4, "kernel_ms": round(tk128 * 1e3, 2)})
 
     # --- virus-dense worst case (heavy-path compute: kernel + rounds)
     nh = 8 << 20
@@ -106,14 +112,21 @@ def main():
     count = int(hcnt)
     t = amortized(lambda: hfn(m._table_args, m._dense_flat, hd, hn)[0],
                   k=3, reps=2)
+    hkfn = jax.jit(S.build_pipeline(
+        m.automaton, m.tables, npad=S.npad_for(nh), cap=4096,
+        aligned=(nh == S.npad_for(nh)), kernel_only=True))
+    tkh = amortized(lambda: hkfn(m._table_args, m._dense_flat, hd, hn)[0],
+                    k=4, reps=2)
     emit("virus_dense_worst", nh, t,
-         {"survivors": count, "reference_worst_GBps": 1.12})
+         {"survivors": count, "reference_worst_GBps": 1.12,
+          "kernel_ms": round(tkh * 1e3, 2)})
 
-    # --- compacted output (reduce) on ~3%-match corpus
-    from pfac_tpu.backends.xla import _reduce_rowgather
+    # --- compacted output (reduce) on ~3%-match corpus: the sieve path's
+    # bitmap-fed rank-select reduce (pallas_sieve.reduce_from_dense)
     mvec = np.where(rng.integers(0, 100, size=64 << 20) < 3, 7, 0).astype(np.int32)
     md = jax.device_put(mvec)
-    t = amortized(lambda: _reduce_rowgather(md)[0], k=4, reps=2)
+    rfn = jax.jit(S.reduce_from_dense)
+    t = amortized(lambda: rfn(md)[0], k=4, reps=2)
     emit("reduce_device_3pct", 64 << 20, t,
          {"matches": int((mvec > 0).sum())})
 
