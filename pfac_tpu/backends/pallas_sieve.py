@@ -305,15 +305,19 @@ def _probe_slot(p: "_Probe", disp_planes, prod, interpret: bool = False):
 
 def _make_kernel(tables: SieveTables, grid: int,
                  tile_rows: int = TILE_ROWS, interpret: bool = False,
-                 unroll: int = UNROLL):
+                 unroll: int = UNROLL, tail_split: bool = False):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
     TILE_ROWS_, SUB_ = tile_rows, tile_rows // 8
 
     m1_chain = tables.m1_chain
+    sg = grid - 1                   # tail-block grid step (tail_split)
 
     def kernel(n_ref, data_ref, halo_ref, *refs):
         i = 0
+        tail_ref = None
+        if tail_split:
+            tail_ref = refs[i]; i += 1
         if has_m1:
             m1_planes = refs[i]; i += 1
         if m2 is not None:
@@ -347,6 +351,17 @@ def _make_kernel(tables: SieveTables, grid: int,
         # scratch round trips per group than staging all three.
         x = data_ref[:].astype(jnp.int32)                 # (TR,128) = c0
         halo0 = halo_ref[0:1, :].astype(jnp.int32)        # next block's row 0
+        if tail_split:
+            # sharded no-concat layout: the final grid step's data is the
+            # separate tail block (neighbor halo bytes + zero pad); the
+            # second-to-last step's lookahead row is the tail's head; the
+            # tail step's own lookahead is the tail's zero pad
+            tfull = tail_ref[0:TILE_ROWS_, :].astype(jnp.int32)
+            x = jnp.where(g == sg, tfull, x)
+            t0 = tail_ref[0:1, :].astype(jnp.int32)
+            tz = tail_ref[TILE_ROWS_:TILE_ROWS_ + 1, :].astype(jnp.int32)
+            halo0 = jnp.where(g == sg - 1, t0,
+                              jnp.where(g == sg, tz, halo0))
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS_, LANES), 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS_, LANES), 1)
         xu = pltpu.roll(x, TILE_ROWS_ - 1, 0)              # row r -> row r+1
@@ -512,7 +527,9 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     return pos, count, vals
 
 
-REDUCE_CAP = 1 << 18    # match ranks per reduce chunk
+REDUCE_CAP = 1 << 16    # match ranks per reduce chunk (64K measured best:
+                        # per-chunk cost is pass-proportional, and larger
+                        # intermediates spill — 43 ms vs 50 ms at 256K)
 
 
 def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
@@ -537,6 +554,11 @@ def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
 # --------------------------------------------------------------------------
 
 HEAVY_CAP = 1 << 16     # survivor ranks per heavy round
+R_BUF_ROUNDS = 16       # heavy rounds whose (pos, val) pairs are buffered
+                        # for the single deferred scatter (1M survivors,
+                        # 8 MB of buffers); rounds past that — only
+                        # pathological all-positions-match corpora —
+                        # scatter directly per round
 # depth stages with survivor-fraction headroom for realistic length mixes
 # (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.005);
 # consumed by the CSR row-gather walker (backends.xla_csr)
@@ -571,7 +593,8 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                    npad: int, cap: int, interpret: bool = False,
                    kernel_only: bool = False, aligned: bool = False,
                    tile_rows: int = TILE_ROWS, walk_tables=None,
-                   csr_tables=None, unroll: int = UNROLL):
+                   csr_tables=None, unroll: int = UNROLL,
+                   tail_split: bool = False):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
@@ -600,7 +623,8 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             "tile_rows must be a positive multiple of 64",
         )
     grid = npad // (tile_rows * LANES)
-    kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll)
+    kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,
+                          tail_split)
     sub = tile_rows // 8
     a = automaton
     has_alive = tables.alive is not None
@@ -612,25 +636,48 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
         for shape in table_shapes
     ]
     hb = tile_rows // HALO_ROWS
-    if aligned:
-        # halo = next block's head, clamped for the final grid step: its
-        # lookahead bytes are garbage there, but they only feed c1..c3 of
-        # positions within 3 bytes of npad == n, which the rd masks kill
+    if tail_split:
+        # sharded no-concat layout: the shard's own bytes (npad - one
+        # block) arrive untouched; the final block (neighbor halo + zero
+        # pad) is a separate constant-indexed input selected in-kernel —
+        # no device-side concat of the whole shard per dispatch
+        if grid < 2:
+            raise PfacError(PfacStatus.INVALID_PARAMETER,
+                            "tail_split needs at least 2 grid blocks")
+        data_spec = pl.BlockSpec(
+            (tile_rows, LANES),
+            lambda i: (jnp.minimum(i, grid - 2), 0),
+            memory_space=pltpu.VMEM)
         halo_spec = pl.BlockSpec(
             (HALO_ROWS, LANES),
-            lambda i: (jnp.minimum((i + 1) * hb, grid * hb - 1), 0),
+            lambda i: (jnp.minimum((i + 1) * hb, (grid - 1) * hb - 1), 0),
             memory_space=pltpu.VMEM)
+        tail_specs = [pl.BlockSpec((tile_rows + HALO_ROWS, LANES),
+                                   lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
     else:
-        halo_spec = pl.BlockSpec(
-            (HALO_ROWS, LANES),
-            lambda i: ((i + 1) * hb, 0),
-            memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        tail_specs = []
+        if aligned:
+            # halo = next block's head, clamped for the final grid step:
+            # its lookahead bytes are garbage there, but they only feed
+            # c1..c3 of positions within 3 bytes of npad == n, which the
+            # rd masks kill
+            halo_spec = pl.BlockSpec(
+                (HALO_ROWS, LANES),
+                lambda i: (jnp.minimum((i + 1) * hb, grid * hb - 1), 0),
+                memory_space=pltpu.VMEM)
+        else:
+            halo_spec = pl.BlockSpec(
+                (HALO_ROWS, LANES),
+                lambda i: ((i + 1) * hb, 0),
+                memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        data_spec,
         halo_spec,
-    ] + tab_specs
+    ] + tail_specs + tab_specs
     out_specs = [
         pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -646,11 +693,16 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
     n_sieve_args = len(tables.arrays)
     wt = walk_tables
 
-    def run(table_args, dense_flat, data_u8, n_arr):
+    def run(table_args, dense_flat, data_u8, n_arr, tail_u8=None):
         sieve_args = table_args[:n_sieve_args]
         walk_args = table_args[n_sieve_args:]
         n_smem = n_arr.reshape(1, 1)
-        if aligned:
+        extra = []
+        if tail_split:
+            data2d = data_u8.reshape((grid - 1) * tile_rows, LANES)
+            tail2d = tail_u8.reshape(tile_rows + HALO_ROWS, LANES)
+            extra = [tail2d]
+        elif aligned:
             data2d = data_u8.reshape(grid * tile_rows, LANES)
         else:
             padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
@@ -664,10 +716,13 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((tile_rows, LANES), jnp.int32)],
             interpret=interpret,
-        )(n_smem, data2d, data2d, *sieve_args)
+        )(n_smem, data2d, data2d, *extra, *sieve_args)
         matches = out.reshape(-1)
         if kernel_only:
             return matches, bits
+        # survivor windows source: the sharded no-concat layout reads
+        # boundary-straddling windows from (main, tail) via a dual gather
+        win_src = (data2d, tail2d) if tail_split else data2d
         if not has_alive:
             return matches, jnp.int32(0), jnp.int32(0)
         bcum = jnp.cumsum(jax.lax.population_count(bits).sum(axis=1))
@@ -700,7 +755,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                 pos, _ = _compact(bits, cw, npad, rank_offset=off,
                                   bcum=bcum)
                 merged = walkfn(list(m123_args) + list(walk_args),
-                                data2d, pos, n_arr)
+                                win_src, pos, n_arr)
                 return pos, merged
 
             # NO density switch: one always-on light round (ranks
@@ -710,28 +765,71 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             # straight-line form pays only one in-place scatter.
             cl = min(-(-cap // GROUP) * GROUP, npad)
             pos0, merged0 = walker_round(get_walkfn(cl), cl, 0)
-            # pos vectors from _compact are sorted and unique (padding is
-            # distinct out-of-range): the sorted/unique scatter lowering
-            # is ~6x faster on TPU (measured: 5.9 -> <1 ms per 64K round)
-            result = matches.at[pos0].set(
-                merged0, mode="drop", indices_are_sorted=True,
-                unique_indices=True)
+            # the LIGHT round scatters few indices: the default per-index
+            # lowering beats the sorted full-output-pass lowering below
+            # ~16K indices (measured; the heavy rounds use sorted)
+            result = matches.at[pos0].set(merged0, mode="drop")
 
             hc = min(-(-HEAVY_CAP // GROUP) * GROUP, npad)
             heavy_walkfn = get_walkfn(hc)
 
+            # Heavy rounds BUFFER their (pos, merged) pairs and scatter
+            # ONCE after the loop: a sorted scatter into the dense result
+            # is a full-output pass (~5.9 ms/round in-loop on a 512 MB
+            # result, index-count-insensitive), so per-round scatters made
+            # round count the dominant cost on match-dense corpora. The
+            # buffer stays globally sorted-unique: ranks ascend with
+            # position, _compact pads ascend from npad with global rank,
+            # and unwritten buffer slots are initialized past both.
+            bb = R_BUF_ROUNDS * hc
+            bpos0 = npad + bb + jnp.arange(bb, dtype=jnp.int32)
+            bval0 = jnp.zeros(bb, jnp.int32)
+
             def cond(s):
+                i, _, _ = s
+                return (cl + i * hc < count) & (i < R_BUF_ROUNDS)
+
+            def body(s):
+                i, bp, bv = s
+                pos, merged = walker_round(heavy_walkfn, hc, cl + i * hc)
+                return (i + 1,
+                        jax.lax.dynamic_update_slice(bp, pos, (i * hc,)),
+                        jax.lax.dynamic_update_slice(bv, merged, (i * hc,)))
+
+            nr, bpos, bval = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), bpos0, bval0))
+
+            # one-shot scatter: zero iterations (hence zero cost) when no
+            # heavy round ran — the usual case for typical corpora
+            def cond_s(s):
+                j, _ = s
+                return (j == 0) & (nr > 0)
+
+            def body_s(s):
+                j, res = s
+                return j + 1, res.at[bpos].set(
+                    bval, mode="drop", indices_are_sorted=True,
+                    unique_indices=True)
+
+            _, result = jax.lax.while_loop(
+                cond_s, body_s, (jnp.int32(0), result))
+
+            # pathological tail (survivors past the buffered rounds, e.g.
+            # every position matching): direct per-round scatters, zero
+            # iterations unless the buffer filled
+            def cond_t(s):
                 i, _ = s
                 return cl + i * hc < count
 
-            def body(s):
+            def body_t(s):
                 i, res = s
                 pos, merged = walker_round(heavy_walkfn, hc, cl + i * hc)
                 return i + 1, res.at[pos].set(
                     merged, mode="drop", indices_are_sorted=True,
                     unique_indices=True)
 
-            _, result = jax.lax.while_loop(cond, body, (jnp.int32(0), result))
+            _, result = jax.lax.while_loop(
+                cond_t, body_t, (nr, result))
             return result, count, jnp.int32(0)
         else:
             # ---- CSR row-gather walker (backends.xla_csr): big/wide
@@ -752,27 +850,65 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             csr_walkfn = build_csr_walker(csr_tables, cap=hc,
                                           interpret=interpret)
 
-            def cond(s):
-                i, _, _ = s
-                return i * hc < count
-
             out2d = matches.reshape(-1, LANES)
 
-            def body(s):
-                i, res, ovf = s
+            def csr_round(i):
                 pos, _, kvals = _compact(bits, hc, npad, rank_offset=i * hc,
                                          bcum=bcum, vals2d=out2d)
-                merged, o = csr_walkfn(list(walk_args), data2d, pos, n_arr)
+                merged, o = csr_walkfn(list(walk_args), win_src, pos, n_arr)
                 # deep match overrides; else rewrite the kernel's own
                 # depth-1..3 value — keeps pos sorted-unique (masking pos
                 # instead would interleave out-of-range values)
-                res = res.at[pos].set(
-                    jnp.where(merged > 0, merged, kvals), mode="drop",
-                    indices_are_sorted=True, unique_indices=True)
-                return i + 1, res, ovf | o
+                return pos, jnp.where(merged > 0, merged, kvals), o
+
+            # same deferred-scatter round structure as the walker branch
+            # above: buffer (pos, val) per round, one sorted scatter in a
+            # zero-or-one-iteration loop, direct-scatter overflow tail
+            bb = R_BUF_ROUNDS * hc
+            bpos0 = npad + bb + jnp.arange(bb, dtype=jnp.int32)
+            bval0 = jnp.zeros(bb, jnp.int32)
+
+            def cond(s):
+                i, _, _, _ = s
+                return (i * hc < count) & (i < R_BUF_ROUNDS)
+
+            def body(s):
+                i, bp, bv, ovf = s
+                pos, val, o = csr_round(i)
+                return (i + 1,
+                        jax.lax.dynamic_update_slice(bp, pos, (i * hc,)),
+                        jax.lax.dynamic_update_slice(bv, val, (i * hc,)),
+                        ovf | o)
+
+            nr, bpos, bval, overflow = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), bpos0, bval0, jnp.int32(0)))
+
+            def cond_s(s):
+                j, _ = s
+                return (j == 0) & (nr > 0)
+
+            def body_s(s):
+                j, res = s
+                return j + 1, res.at[bpos].set(
+                    bval, mode="drop", indices_are_sorted=True,
+                    unique_indices=True)
+
+            _, result = jax.lax.while_loop(
+                cond_s, body_s, (jnp.int32(0), matches))
+
+            def cond_t(s):
+                i, _, _ = s
+                return i * hc < count
+
+            def body_t(s):
+                i, res, ovf = s
+                pos, val, o = csr_round(i)
+                return i + 1, res.at[pos].set(
+                    val, mode="drop", indices_are_sorted=True,
+                    unique_indices=True), ovf | o
 
             _, result, overflow = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), matches, jnp.int32(0)))
+                cond_t, body_t, (nr, result, overflow))
             return result, count, overflow
 
     return run

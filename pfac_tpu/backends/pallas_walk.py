@@ -490,7 +490,7 @@ def window_geometry(max_len: int) -> tuple[int, int]:
     return w_out, w_raw
 
 
-def prepare_windows(data2d_u8: jax.Array, pos: jax.Array, w_raw: int):
+def prepare_windows(data2d_u8, pos: jax.Array, w_raw: int):
     """Row-gather each survivor's raw byte window, transposed for the
     kernel: (cap,) positions -> (G*w_raw*8, 128) int32 words where word w
     of survivor g*1024 + s*128 + l sits at row (g*w_raw + w)*8 + s.
@@ -499,16 +499,31 @@ def prepare_windows(data2d_u8: jax.Array, pos: jax.Array, w_raw: int):
     intermediate is survivor-proportional (a corpus-wide u8->u32 bitcast
     pads 32x on TPU — 16 GB of HBM for a 128 MB corpus). Out-of-range
     rows clamp — the resulting garbage bytes are masked by depth
-    in-kernel."""
+    in-kernel.
+
+    data2d_u8 may be a (main, tail) tuple (the sharded no-concat layout):
+    rows past main's end come from the small tail block instead — a dual
+    gather + row select, paid only on the sharded path."""
     cap = pos.shape[0]
     g = cap // GROUP
-    rows2d = data2d_u8                                       # (nr, 128) u8
-    nr = rows2d.shape[0]
-    r0 = jnp.clip(pos >> 7, 0, nr - 1)
-    parts = [
-        jnp.take(rows2d, jnp.minimum(r0 + i, nr - 1), axis=0)
-        for i in range(w_raw // ROW_WORDS)
-    ]
+    if isinstance(data2d_u8, tuple):
+        main, tailb = data2d_u8
+        nm, nt = main.shape[0], tailb.shape[0]
+        r0 = jnp.clip(pos >> 7, 0, nm + nt - 1)
+        parts = []
+        for i in range(w_raw // ROW_WORDS):
+            r = jnp.minimum(r0 + i, nm + nt - 1)
+            pm = jnp.take(main, jnp.minimum(r, nm - 1), axis=0)
+            pt = jnp.take(tailb, jnp.clip(r - nm, 0, nt - 1), axis=0)
+            parts.append(jnp.where((r < nm)[:, None], pm, pt))
+    else:
+        rows2d = data2d_u8                                   # (nr, 128) u8
+        nr = rows2d.shape[0]
+        r0 = jnp.clip(pos >> 7, 0, nr - 1)
+        parts = [
+            jnp.take(rows2d, jnp.minimum(r0 + i, nr - 1), axis=0)
+            for i in range(w_raw // ROW_WORDS)
+        ]
     b = jnp.concatenate(parts, axis=1).astype(jnp.int32)     # (cap, 4*w_raw)
     raw = (b[:, 0::4] | (b[:, 1::4] << 8)
            | (b[:, 2::4] << 16) | (b[:, 3::4] << 24))        # LE words

@@ -173,6 +173,53 @@ class ShardedMatcher:
             return npad_for(per, self.tile_rows)
         return max(1, -(-per // self.tile)) * self.tile
 
+    def _sieve_shard_pipeline(self, shard_len: int, n: int):
+        """Shared per-shard plumbing: (pipeline_runner, halo).
+
+        The runner maps data_local -> (result, ovf) inside shard_map. When
+        the halo fits one kernel block (the common case), the no-concat
+        tail-split layout is used: the shard's bytes feed the kernel
+        UNTOUCHED and only a one-block tail buffer (ppermute halo + zero
+        pad) is materialized per dispatch — the full-shard concat copy
+        cost ~7% of the shard pipeline (round-2 scaling gap)."""
+        from ..backends import pallas_sieve as sieve
+
+        a = self.automaton
+        halo = max(a.max_pattern_len, 2)
+        nd = self.num_devices
+        block = self.tile_rows * 128
+        use_split = halo + 4 <= block
+        npad = (shard_len + block if use_split
+                else sieve.npad_for(shard_len + halo, self.tile_rows))
+        pipeline = sieve.build_pipeline(
+            a, self._sieve_tables, npad=npad,
+            cap=1 << 12, interpret=self.interpret,
+            walk_tables=self._walk_tables, csr_tables=self._csr_tables,
+            tile_rows=self.tile_rows, tail_split=use_split,
+        )
+        tail_bytes = (self.tile_rows + sieve.HALO_ROWS) * 128
+
+        def run_local(tables, dense_flat, data_local):
+            idx = jax.lax.axis_index(AXIS)
+            head = jax.lax.dynamic_slice(data_local, (0,), (halo,))
+            perm = [(i, i - 1) for i in range(1, nd)]
+            # last shard's halo: ppermute leaves untargeted outputs zero;
+            # those bytes sit at/past global n and are masked by n_valid
+            halo_bytes = jax.lax.ppermute(head, AXIS, perm) if perm else head
+            n_valid = jnp.clip(n - idx * shard_len, 0, shard_len + halo)
+            n_arr = n_valid.reshape(1).astype(jnp.int32)
+            if use_split:
+                tail = jax.lax.dynamic_update_slice(
+                    jnp.zeros(tail_bytes, jnp.uint8), halo_bytes, (0,))
+                result, _, ovf = pipeline(tables, dense_flat, data_local,
+                                          n_arr, tail)
+            else:
+                ext = jnp.concatenate([data_local, halo_bytes])
+                result, _, ovf = pipeline(tables, dense_flat, ext, n_arr)
+            return result, ovf
+
+        return run_local, halo
+
     def _build_fn_sieve(self, shard_len: int, n: int):
         """Per-shard Pallas sieve with the same ppermute halo layout.
 
@@ -181,32 +228,10 @@ class ShardedMatcher:
         (light/mid/heavy switch); overflow flags the rare heavy-stage
         capacity exhaustion, which routes to the XLA fallback.
         """
-        from ..backends import pallas_sieve as sieve
-
-        a = self.automaton
-        halo = max(a.max_pattern_len, 2)
-        nd = self.num_devices
-        pipeline = sieve.build_pipeline(
-            a, self._sieve_tables,
-            npad=sieve.npad_for(shard_len + halo, self.tile_rows),
-            cap=1 << 12, interpret=self.interpret,
-            walk_tables=self._walk_tables, csr_tables=self._csr_tables,
-            tile_rows=self.tile_rows,
-        )
+        run_local, _ = self._sieve_shard_pipeline(shard_len, n)
 
         def local_match(tables, dense_flat, data_local):
-            idx = jax.lax.axis_index(AXIS)
-            head = jax.lax.dynamic_slice(data_local, (0,), (halo,))
-            perm = [(i, i - 1) for i in range(1, nd)]
-            # last shard's halo: ppermute leaves untargeted outputs zero;
-            # those bytes sit at/past global n and are masked by n_valid
-            halo_bytes = jax.lax.ppermute(head, AXIS, perm) if perm else head
-            ext = jnp.concatenate([data_local, halo_bytes])
-            n_valid = jnp.clip(n - idx * shard_len, 0, shard_len + halo)
-            result, _, ovf = pipeline(
-                tables, dense_flat, ext,
-                n_valid.reshape(1).astype(jnp.int32),
-            )
+            result, ovf = run_local(tables, dense_flat, data_local)
             owned = jax.lax.dynamic_slice(result, (0,), (shard_len,))
             count = jax.lax.psum(jnp.sum(owned > 0), AXIS)
             return owned, count, ovf.reshape(1)
@@ -228,30 +253,10 @@ class ShardedMatcher:
         PFAC/src/PFAC_reduce_kernel.cu:306-457, lifted to the mesh).
         Shard-local positions are int32; the host rebases to global
         int64."""
-        from ..backends import pallas_sieve as sieve
-
-        a = self.automaton
-        halo = max(a.max_pattern_len, 2)
-        nd = self.num_devices
-        pipeline = sieve.build_pipeline(
-            a, self._sieve_tables,
-            npad=sieve.npad_for(shard_len + halo, self.tile_rows),
-            cap=1 << 12, interpret=self.interpret,
-            walk_tables=self._walk_tables, csr_tables=self._csr_tables,
-            tile_rows=self.tile_rows,
-        )
+        run_local, _ = self._sieve_shard_pipeline(shard_len, n)
 
         def local_reduce(tables, dense_flat, data_local):
-            idx = jax.lax.axis_index(AXIS)
-            head = jax.lax.dynamic_slice(data_local, (0,), (halo,))
-            perm = [(i, i - 1) for i in range(1, nd)]
-            halo_bytes = jax.lax.ppermute(head, AXIS, perm) if perm else head
-            ext = jnp.concatenate([data_local, halo_bytes])
-            n_valid = jnp.clip(n - idx * shard_len, 0, shard_len + halo)
-            result, _, ovf = pipeline(
-                tables, dense_flat, ext,
-                n_valid.reshape(1).astype(jnp.int32),
-            )
+            result, ovf = run_local(tables, dense_flat, data_local)
             owned = jax.lax.dynamic_slice(result, (0,), (shard_len,))
             ids, pos, count = _compact_capped(owned, cap_r)
             flags = jnp.stack([count, ovf | (count > cap_r).astype(jnp.int32)])

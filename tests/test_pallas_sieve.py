@@ -265,6 +265,22 @@ class TestHeavyRegime:
         got = m.match(data)
         assert np.array_equal(got, expected)
 
+    def test_heavy_rounds_past_buffer(self, monkeypatch):
+        # survivors past R_BUF_ROUNDS * HEAVY_CAP: the deferred-scatter
+        # buffer fills and the direct-scatter tail loop finishes the rest
+        import pfac_tpu.backends.pallas_sieve as S
+
+        monkeypatch.setattr(S, "HEAVY_CAP", 1024)
+        monkeypatch.setattr(S, "R_BUF_ROUNDS", 2)
+        pats = [b"aaaa", b"aaaaaaaaaa", b"bbbbb"]
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        m._cap = 512
+        data = (b"aaaa" * 2500) + b"bbbbb" * 20      # ~10K survivors
+        expected = golden.match_dense(a, data)
+        got = m.match(data)
+        assert np.array_equal(got, expected)
+
 
 class TestFusedChd:
     def test_exact2_roundtrip(self):

@@ -114,6 +114,27 @@ class TestCsrPipeline:
             golden.match_dense(a, data).tolist()
         m.flush_checks()
 
+    def test_big_ruleset_resid8(self):
+        # > _RESID8_THRESHOLD alive keys: the 8-bit-residual filter +
+        # auto-gated CSR tier (per-depth states stay < 2^16 here, so gate
+        # the walker off via the key count alone being irrelevant — this
+        # asserts the resid8 kernel probe + CSR tail end-to-end)
+        rng = np.random.default_rng(17)
+        raw = rng.integers(0, 256, size=9000 * 12, dtype=np.uint8)
+        pats = list(dict.fromkeys(
+            raw[i * 12:i * 12 + 12].tobytes() for i in range(9000)))
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        assert m.tables.alive.resid_bits == 8
+        data = bytearray(rng.integers(0, 256, size=4000, dtype=np.uint8))
+        for off in (0, 777, 1500, 3988):
+            p = pats[int(rng.integers(0, len(pats)))]
+            data[off:off + len(p)] = p
+        data = bytes(data)
+        assert m.match(data).tolist() == \
+            golden.match_dense_batch(a, data).tolist()
+        m.flush_checks()
+
     def test_multiple_rounds(self, monkeypatch):
         # survivors exceeding one round capacity (cap = npad here is
         # bounded by the corpus; shrink HEAVY_CAP instead)

@@ -130,6 +130,52 @@ def main():
     emit("reduce_device_3pct", 64 << 20, t,
          {"matches": int((mvec > 0).sum())})
 
+    # --- big-ruleset tier: 100K ClamAV-scale signatures (lengths 8-200,
+    # binary) over 64 MB of DEFCON-like text with ~0.2% planted content.
+    # Per-depth state counts >= 2^16 gate the VMEM walk engine off; this
+    # regime runs the 8-bit-residual alive filter + the CSR row-gather
+    # walker — the tier the reference serves from texture/global tables
+    # (PFAC/src/PFAC_kernel_spaceDriven.cu:465-558). Round-2 fallback ran
+    # this class of ruleset at ~0.02 GB/s.
+    kbig = 100_000
+    lens = np.clip(rng.gamma(3.0, 18.0, size=kbig) + 8, 8, 200).astype(int)
+    raw = rng.integers(0, 256, size=int(lens.sum()), dtype=np.uint8)
+    off, bpats, seenb = 0, [], set()
+    for ln in lens:
+        p = raw[off:off + ln].tobytes()
+        off += ln
+        if p not in seenb:
+            seenb.add(p)
+            bpats.append(p)
+    a2 = Automaton.from_patterns(bpats)
+    m2 = S.SieveMatcher(a2)
+    assert m2.walk_tables is None and m2.csr_tables is not None, \
+        "expected the CSR tier for the 100K ruleset"
+    n2 = 64 << 20
+    text2 = rng.integers(32, 127, size=n2, dtype=np.uint8)
+    buf2 = bytearray(text2.tobytes())
+    budget2, placed2 = int(n2 * 0.002), 0
+    while placed2 < budget2:
+        p = bpats[int(rng.integers(0, len(bpats)))]
+        o2 = int(rng.integers(0, n2 - len(p)))
+        buf2[o2:o2 + len(p)] = p
+        placed2 += len(p)
+    arr2 = np.frombuffer(bytes(buf2), dtype=np.uint8)
+    s2 = bytes(arr2[: 1 << 20].tobytes())
+    assert np.array_equal(m2.match(s2), golden.match_dense_batch(a2, s2)), \
+        "big-ruleset parity failed"
+    dd3 = jax.device_put(arr2)
+    n3_arr = jnp.full((1,), n2, jnp.int32)
+    bfn = m2._pipeline_fn(S.npad_for(n2), 4096, aligned=True)
+    _, cnt3, _ = bfn(m2._table_args, m2._dense_flat, dd3, n3_arr)
+    t = amortized(lambda: bfn(m2._table_args, m2._dense_flat, dd3, n3_arr)[0],
+                  k=3, reps=2)
+    emit("big_ruleset_100k_defcon", n2, t,
+         {"survivors": int(cnt3), "patterns": len(bpats),
+          "alive_resid_bits": m2.tables.alive.resid_bits,
+          "csr_hbm_mb": round(m2.csr_tables.hbm_bytes / 1e6, 1),
+          "r2_fallback_GBps_class": 0.02})
+
 
 if __name__ == "__main__":
     main()
