@@ -35,7 +35,7 @@ def main():
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)
     res = jax.device_put(np.zeros(NPAD, np.int32), dev)
-    for cap in (4096, 65536):
+    for cap in (4096, 65536, 1 << 20):
         pos = np.sort(rng.choice(NPAD, size=cap, replace=False)).astype(np.int32)
         vals = rng.integers(1, 1000, size=cap).astype(np.int32)
         posd = jax.device_put(pos, dev)

@@ -67,6 +67,13 @@ _I32 = lambda x: jnp.int32(np.int32(np.uint32(x)))
 # outweigh the extra ~2^-8 false survivors' walk cost
 _RESID8_THRESHOLD = 8192
 
+# len-1 pattern count up to which the m1 probe is a compare/select chain
+# instead of a 2-plane direct table. The kernel is ISSUE-bound (~82 cy
+# per row-group ~= its ~86 VPU ops), so each chain entry costs its 2 ops
+# (compare+select) outright — while the 2-plane table costs ~5 ops
+# total. Chain only wins when it is genuinely tiny.
+_M1_CHAIN_MAX = 2
+
 
 # --------------------------------------------------------------------------
 # host-side table construction
@@ -188,9 +195,7 @@ class SieveTables:
         m1 = None
         m1_chain = None
         if len1:
-            if len(len1) <= 12:
-                # a short compare/select chain is ALU work hidden under the
-                # probe gathers' latency — two fewer gathers per row-group
+            if len(len1) <= _M1_CHAIN_MAX:
                 m1_chain = tuple(sorted(len1.items()))
             else:
                 t = np.zeros(256, np.int32)
@@ -532,13 +537,22 @@ REDUCE_CAP = 1 << 16    # match ranks per reduce chunk (64K measured best:
                         # intermediates spill — 43 ms vs 50 ms at 256K)
 
 
+REDUCE_SCATTER_MAX = True   # sorted scatter-max pack (linear output pass)
+                            # vs the chunked rank-select row-gather walk
+
+
 def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
     """Dense match vector -> compacted (ids, pos, count), positions
-    ascending; entries past count are zero. Delegates to the row-major
-    rank-select machinery (xla._reduce_rowgather) with a reduce-sized
-    chunk: 128-position rows enumerate position-major natively, and the
-    4x-bigger chunks amortize the per-chunk rank-search fixed cost that
-    dominated the old 64K-chunk walk (43 -> ~15 ms on 2M matches/64 MB)."""
+    ascending; entries past count are zero.
+
+    Default path: xla._reduce_scatter_max — one cumsum + two sorted
+    scatter-max passes, O(n) streaming traffic. The chunked rank-select
+    row-gather walk (xla._reduce_rowgather) remains as the comparison
+    path; its per-rank 128-wide row gathers cost ~4 gathered rows per
+    output rank (~25 ms floor on 2M matches)."""
+    if REDUCE_SCATTER_MAX:
+        from .xla import _reduce_scatter_max
+        return _reduce_scatter_max(result)
     from .xla import _reduce_rowgather
     return _reduce_rowgather(result, cap=min(cap, result.shape[0]))
 

@@ -401,6 +401,34 @@ def _rank_rows(bcum: jax.Array, q: jax.Array):
 
 
 
+@jax.jit
+def _reduce_scatter_max(match_padded: jax.Array):
+    """Compaction as TWO sorted scatter-max passes.
+
+    dest[i] = cumsum(flags)[i] - 1 is NON-DECREASING over every position
+    (not just matches), so the scatter legally carries
+    indices_are_sorted=True and lowers to a linear output pass instead of
+    per-index traffic. Non-match positions scatter 0, which loses the max
+    against any real id (>= 1) / position+1 (>= 1). Leading non-matches
+    get dest = -1, dropped as out-of-bounds. One cumsum + two scatters:
+    O(n) streaming traffic, no per-rank 128-wide row gathers (the
+    _reduce_rowgather amplification). Same contract: (ids, pos, count),
+    entries past count are zero/undefined."""
+    m = match_padded.astype(jnp.int32)
+    n = m.shape[0]
+    flags = m > 0
+    csum = jnp.cumsum(flags.astype(jnp.int32))
+    count = csum[-1]
+    dest = csum - 1                       # non-decreasing; -1 before first
+    iota = jnp.arange(n, dtype=jnp.int32)
+    zero = jnp.zeros(n, jnp.int32)
+    ids = zero.at[dest].max(jnp.where(flags, m, 0), mode="drop",
+                            indices_are_sorted=True)
+    pos1 = zero.at[dest].max(jnp.where(flags, iota + 1, 0), mode="drop",
+                             indices_are_sorted=True)
+    return ids, jnp.maximum(pos1 - 1, 0), count
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _reduce_rowgather(match_padded: jax.Array, *, cap: int = 1 << 16):
     """Stream compaction built from row gathers + cumsums only.

@@ -155,6 +155,32 @@ class TestSieveMatcher:
         assert np.asarray(pos)[:c].tolist() == exp.tolist()
         assert np.asarray(ids)[:c].tolist() == dense[exp].tolist()
 
+    def test_reduce_variants_parity(self):
+        # both device-reduce lowerings against numpy, across densities and
+        # edge shapes (no matches, all matches, leading/trailing gaps)
+        import jax
+        from pfac_tpu.backends.xla import (_reduce_rowgather,
+                                           _reduce_scatter_max)
+        rng = np.random.default_rng(11)
+        cases = [
+            np.zeros(4096, np.int32),
+            np.full(4096, 7, np.int32),
+            np.where(rng.random(4096) < 0.03, 9, 0).astype(np.int32),
+            np.where(rng.random(4096) < 0.6, 3, 0).astype(np.int32),
+        ]
+        lead = np.zeros(4096, np.int32)
+        lead[2000:2010] = 5            # dest = -1 drop path before first
+        cases.append(lead)
+        for dense in cases:
+            exp = np.flatnonzero(dense)
+            for fn in (_reduce_scatter_max,
+                       lambda r: _reduce_rowgather(r, cap=512)):
+                ids, pos, count = jax.jit(fn)(jax.device_put(dense))
+                c = int(count)
+                assert c == exp.shape[0]
+                assert np.asarray(pos)[:c].tolist() == exp.tolist()
+                assert np.asarray(ids)[:c].tolist() == dense[exp].tolist()
+
     def test_survivors_beyond_light_cap_one_dispatch(self):
         # corpus where EVERY position is alive: survivors >> the light
         # capacity — the in-program mid/heavy switch handles it with no
