@@ -392,67 +392,88 @@ def _make_kernel(tables: SieveTables, grid: int,
         # the whole out tile, no sub-tile read-modify-write stores
         ips = max(1, 8 // unroll)
 
-        # ---- per row-group probes
-        def sub_blk(r, bits_acc):
-            phase = r % ips
-            for u in range(unroll):
-                rr = r * unroll + u
-                k4s = k4_ref[pl.ds(rr * 8, 8), :]
-                rd = (n_loc - rr * (8 * LANES)) - base8
-                match = jnp.zeros((8, LANES), jnp.int32)
-                if m1_chain is not None:
-                    c0 = (k4s >> 24) & 0xFF
-                    for ch, pid in m1_chain:
-                        match = jnp.where(c0 == ch, pid, match)
-                elif has_m1:
-                    match = _lookup(m1_planes, (k4s >> 24) & 0xFF, interpret)
-                if m2 is not None:
-                    k = (k4s >> 16) & 0xFFFF
-                    prod = k * _I32(m2.slot_mul)
-                    slot = _probe_slot(m2, m2_disp, prod, interpret)
-                    w = _lookup(m2_words, slot, interpret)
-                    if m2_keyw is not None:         # wide (ids > 15 bits)
-                        kw = _lookup(m2_keyw, slot, interpret)
-                        hit = (kw == k) & (rd > 1)
-                        match = jnp.where(hit, w, match)
+        # ---- per row-group probes. The end-of-input rd masks are
+        # vacuous for every grid block strictly before the one holding n
+        # (rd > 3 for all its positions): emit an unmasked body for those
+        # (the common case) and the masked one only for the tail block —
+        # the kernel is ISSUE-bound, so the ~8 dropped compare/and/select
+        # ops per row-group are a direct win.
+        def make_sub_blk(masked: bool):
+            def sub_blk(r, bits_acc):
+                phase = r % ips
+                for u in range(unroll):
+                    rr = r * unroll + u
+                    k4s = k4_ref[pl.ds(rr * 8, 8), :]
+                    if masked:
+                        rd = (n_loc - rr * (8 * LANES)) - base8
+                        dm = lambda hit, d: hit & (rd > d)
                     else:
-                        # empty slots hold a member key in the key field
-                        # (chd.build_exact2), so key equality alone decides
-                        hit = (((w >> 16) & 0xFFFF) == k) & (rd > 1)
-                        match = jnp.where(hit, w & 0x7FFF, match)
-                if m3 is not None:
-                    k = (k4s >> 8) & 0xFFFFFF
-                    prod = k * _I32(m3.slot_mul)
-                    slot = _probe_slot(m3, m3_disp, prod, interpret)
-                    w = _lookup(m3_words, slot, interpret)
-                    kw = _lookup(m3_keyw, slot, interpret)     # empty = a member key
-                    hit = (kw == k) & (rd > 2)
-                    match = jnp.where(hit, w, match)
-                out_ref[pl.ds(rr * 8, 8), :] = jnp.where(rd > 0, match, 0)
-                if alive is not None:
-                    prod = k4s * _I32(alive.slot_mul)
-                    slot = _probe_slot(alive, al_disp, prod, interpret)
-                    # the stored residual is the product's low resid_bits
-                    if alive.resid_bits == 16:
-                        w = _lookup(al_words, slot >> 1, interpret)
-                        r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
-                        a = (r16 == (prod & 0xFFFF)) & (rd > 3)
-                    else:                       # 8-bit, packed 4/word
-                        w = _lookup(al_words, slot >> 2, interpret)
-                        lo = jnp.where((slot & 1) == 1, w >> 8, w)
-                        r8 = jnp.where((slot & 2) == 2, lo >> 16, lo) & 0xFF
-                        a = (r8 == (prod & 0xFF)) & (rd > 3)
-                    bw = jnp.sum(a.astype(jnp.int32) << srow, axis=0)
-                    bits_acc = jnp.where(srow == phase * unroll + u,
-                                         bw[None, :], bits_acc)
+                        dm = lambda hit, d: hit
+                    match = jnp.zeros((8, LANES), jnp.int32)
+                    if m1_chain is not None:
+                        c0 = (k4s >> 24) & 0xFF
+                        for ch, pid in m1_chain:
+                            match = jnp.where(c0 == ch, pid, match)
+                    elif has_m1:
+                        match = _lookup(m1_planes, (k4s >> 24) & 0xFF,
+                                        interpret)
+                    if m2 is not None:
+                        k = (k4s >> 16) & 0xFFFF
+                        prod = k * _I32(m2.slot_mul)
+                        slot = _probe_slot(m2, m2_disp, prod, interpret)
+                        w = _lookup(m2_words, slot, interpret)
+                        if m2_keyw is not None:     # wide (ids > 15 bits)
+                            kw = _lookup(m2_keyw, slot, interpret)
+                            match = jnp.where(dm(kw == k, 1), w, match)
+                        else:
+                            # empty slots hold a member key in the key
+                            # field (chd.build_exact2): key equality alone
+                            hit = dm(((w >> 16) & 0xFFFF) == k, 1)
+                            match = jnp.where(hit, w & 0x7FFF, match)
+                    if m3 is not None:
+                        k = (k4s >> 8) & 0xFFFFFF
+                        prod = k * _I32(m3.slot_mul)
+                        slot = _probe_slot(m3, m3_disp, prod, interpret)
+                        w = _lookup(m3_words, slot, interpret)
+                        kw = _lookup(m3_keyw, slot, interpret)  # empty = a member key
+                        match = jnp.where(dm(kw == k, 2), w, match)
+                    if masked:
+                        match = jnp.where(rd > 0, match, 0)
+                    out_ref[pl.ds(rr * 8, 8), :] = match
+                    if alive is not None:
+                        prod = k4s * _I32(alive.slot_mul)
+                        slot = _probe_slot(alive, al_disp, prod, interpret)
+                        # stored residual = the product's low resid_bits
+                        if alive.resid_bits == 16:
+                            w = _lookup(al_words, slot >> 1, interpret)
+                            r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
+                            a = dm(r16 == (prod & 0xFFFF), 3)
+                        else:                   # 8-bit, packed 4/word
+                            w = _lookup(al_words, slot >> 2, interpret)
+                            lo = jnp.where((slot & 1) == 1, w >> 8, w)
+                            r8 = jnp.where((slot & 2) == 2, lo >> 16, lo) & 0xFF
+                            a = dm(r8 == (prod & 0xFF), 3)
+                        bw = jnp.sum(a.astype(jnp.int32) << srow, axis=0)
+                        bits_acc = jnp.where(srow == phase * unroll + u,
+                                             bw[None, :], bits_acc)
 
-            @pl.when(phase == ips - 1)
-            def _():
-                bits_ref[pl.ds((r // ips) * 8, 8), :] = bits_acc
-            return jnp.where(phase == ips - 1, 0, bits_acc)
+                @pl.when(phase == ips - 1)
+                def _():
+                    bits_ref[pl.ds((r // ips) * 8, 8), :] = bits_acc
+                return jnp.where(phase == ips - 1, 0, bits_acc)
+            return sub_blk
 
-        jax.lax.fori_loop(0, SUB_ // unroll, sub_blk,
-                          jnp.zeros((8, LANES), jnp.int32))
+        bits0 = jnp.zeros((8, LANES), jnp.int32)
+        # rd_min over the block = n_loc - (TILE*LANES - 1) > 3
+        safe = n_loc >= TILE_ROWS_ * LANES + 4
+
+        @pl.when(safe)
+        def _():
+            jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(False), bits0)
+
+        @pl.when(jnp.logical_not(safe))
+        def _():
+            jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(True), bits0)
 
     return kernel
 
