@@ -344,7 +344,7 @@ class XlaMatcher:
 
     def match_reduce_device(self, data_u8: jax.Array):
         m = self.match_device(data_u8)
-        return _reduce_rowgather(m)
+        return _reduce_scatter_max(m)
 
     def match_reduce(self, data) -> tuple[np.ndarray, np.ndarray, int]:
         return host_reduce(self.match(data))

@@ -49,29 +49,26 @@ AXIS = "data"
 
 def _compact_capped(m: jax.Array, cap: int):
     """Device-side compaction of a dense match vector into at most `cap`
-    (id, pos) pairs, positions ascending: row-gather rank search only
-    (see xla._rank_rows). Returns (ids[cap], pos[cap], count) — entries
-    past count are zero; count may exceed cap (caller must detect)."""
-    from ..backends.xla import _lane_prefix, _rank_rows
+    (id, pos) pairs, positions ascending. Returns (ids[cap], pos[cap],
+    count) — entries past count are zero; count may exceed cap (caller
+    must detect).
 
-    m2d = m.reshape(-1, 128)
-    counts = (m2d > 0).sum(axis=1, dtype=jnp.int32)
-    bcum = jnp.cumsum(counts)
-    count = bcum[-1]
-    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    row, prev = _rank_rows(bcum, q)
-    rank = q - prev
-    vals = jnp.take(m2d, row, axis=0)                  # (cap,128) row gather
-    rcum = _lane_prefix(vals > 0)                      # MXU prefix, f32
-    within = jnp.minimum(
-        jnp.sum((rcum < rank[:, None].astype(jnp.float32))
-                .astype(jnp.int32), axis=1), 127)
-    lane = jnp.arange(128, dtype=jnp.int32)
-    cid = jnp.sum(jnp.where(lane[None, :] == within[:, None], vals, 0),
-                  axis=1)
-    cpos = row * 128 + within
-    valid = q <= count
-    return (jnp.where(valid, cid, 0), jnp.where(valid, cpos, 0), count)
+    Same sorted scatter-max pack as xla._reduce_scatter_max: dest =
+    cumsum(flags)-1 is non-decreasing over every position, so the two
+    scatters legally carry indices_are_sorted and lower to linear output
+    passes; matches past cap fall out of bounds and drop — the cap is
+    enforced by the output shape, no rank search needed."""
+    flags = m > 0
+    csum = jnp.cumsum(flags.astype(jnp.int32))
+    count = csum[-1]
+    dest = csum - 1                      # non-decreasing; -1 before first
+    iota = jnp.arange(m.shape[0], dtype=jnp.int32)
+    zero = jnp.zeros(cap, jnp.int32)
+    ids = zero.at[dest].max(jnp.where(flags, m, 0), mode="drop",
+                            indices_are_sorted=True)
+    pos1 = zero.at[dest].max(jnp.where(flags, iota + 1, 0), mode="drop",
+                             indices_are_sorted=True)
+    return ids, jnp.maximum(pos1 - 1, 0), count
 
 
 def make_data_mesh(num_devices: int | None = None, devices=None) -> Mesh:
