@@ -160,12 +160,14 @@ class _Probe:
 
 @dataclasses.dataclass
 class SieveTables:
-    m1: np.ndarray | None      # (16,128) direct table planes, or None
+    m1: np.ndarray | None      # direct table planes: u16-packed 1 plane
+                               # (ids <= 15 bits) or 2 full-word planes
     m1_chain: tuple | None     # ((byte, id), ...) compare-chain for tiny sets
     m2: _Probe | None          # exact16 on (c0<<8|c1)
     m3: _Probe | None          # wide exact on (c0<<16|c1<<8|c2)
     alive: _Probe | None       # resid16 on (c0<<24|c1<<16|c2<<8|c3)
     vmem_bytes: int
+    m1_packed: bool = False    # m1 values u16-packed 2 per word (1 plane)
 
     @classmethod
     def build(cls, automaton: Automaton) -> "SieveTables":
@@ -194,6 +196,7 @@ class SieveTables:
 
         m1 = None
         m1_chain = None
+        m1_packed = False
         if len1:
             if len(len1) <= _M1_CHAIN_MAX:
                 m1_chain = tuple(sorted(len1.items()))
@@ -201,7 +204,13 @@ class SieveTables:
                 t = np.zeros(256, np.int32)
                 for ch, pid in len1.items():
                     t[ch] = pid
-                m1 = _expand_planes(t)
+                if not wide_ids:
+                    # ids fit 15 bits: pack 2/word -> a 1-plane probe
+                    # (1 gather + a parity select vs a 2-plane scan)
+                    m1 = _expand_planes(_pack_u16(t.astype(np.uint32)))
+                    m1_packed = True
+                else:
+                    m1 = _expand_planes(t)
 
         m2 = None
         if len2:
@@ -242,7 +251,7 @@ class SieveTables:
             if p is not None:
                 vmem += sum(a.size for a in p.arrays) * 4
         return cls(m1=m1, m1_chain=m1_chain, m2=m2, m3=m3, alive=alive,
-                   vmem_bytes=vmem)
+                   vmem_bytes=vmem, m1_packed=m1_packed)
 
     @property
     def arrays(self) -> list[np.ndarray]:
@@ -414,6 +423,10 @@ def _make_kernel(tables: SieveTables, grid: int,
                         c0 = (k4s >> 24) & 0xFF
                         for ch, pid in m1_chain:
                             match = jnp.where(c0 == ch, pid, match)
+                    elif has_m1 and tables.m1_packed:
+                        c0 = (k4s >> 24) & 0xFF
+                        w = _lookup(m1_planes, c0 >> 1, interpret)
+                        match = jnp.where((c0 & 1) == 1, w >> 16, w) & 0xFFFF
                     elif has_m1:
                         match = _lookup(m1_planes, (k4s >> 24) & 0xFF,
                                         interpret)

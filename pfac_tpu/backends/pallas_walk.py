@@ -400,6 +400,10 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
             if st_t.m1_chain is not None:
                 for ch, pid in st_t.m1_chain:
                     match = jnp.where((b0 == ch) & (maxd > 0), pid, match)
+            elif st_t.m1 is not None and st_t.m1_packed:
+                w = _lookup(m123_r[j], b0 >> 1, interpret); j += 1
+                m1 = jnp.where((b0 & 1) == 1, w >> 16, w) & 0xFFFF
+                match = jnp.where(maxd > 0, m1, match)
             elif st_t.m1 is not None:
                 m1 = _lookup(m123_r[j], b0, interpret); j += 1
                 match = jnp.where(maxd > 0, m1, match)

@@ -47,6 +47,16 @@ class TestSieveMatcher:
     def test_len1_only(self):
         _check([b"x", b"y"], b"xyzyx")
 
+    def test_len1_packed_table(self):
+        # > _M1_CHAIN_MAX len-1 patterns: the u16-packed 1-plane m1 table,
+        # odd and even byte values, through the sieve AND walker paths
+        pats = [b"a", b"b", b"c", b"x", b"ab", b"abc", b"abcdef", b"xyzw"]
+        from pfac_tpu.backends.pallas_sieve import SieveTables
+        from pfac_tpu.core.automaton import Automaton
+        t = SieveTables.build(Automaton.from_patterns(pats))
+        assert t.m1_packed and t.m1 is not None and t.m1.shape[0] == 8
+        _check(pats, b"zabcdefxyzwzzabacx")
+
     def test_len2_only(self):
         _check([b"ab", b"ba"], b"abab")
 
