@@ -17,6 +17,9 @@ compaction 53 ms. The sieve removes all three bottlenecks:
     - m3: CHD wide-exact probe on (c0..c2) — full 24-bit key compared,
     - alive: CHD 16-bit-residual probe on the exact 32-bit key (c0..c3):
       "could a len>=4 pattern start here?" False positives ~2^-16.
+  Keys compose LITTLE-endian (c0 in the low byte): every probe key is
+  then a plain mask of the assembled k4 (&0xFF / &0xFFFF / &0xFFFFFF /
+  identity) — no shift+mask per probe in the issue-bound kernel.
   All tables use a lane-major layout probed by the VPU's dynamic lane
   gather (measured ~2 cy/plane amortized, experiments/lanegather2).
   Keying the tail on FOUR bytes cuts survivors ~256x vs the ladder's
@@ -163,9 +166,9 @@ class SieveTables:
     m1: np.ndarray | None      # direct table planes: u16-packed 1 plane
                                # (ids <= 15 bits) or 2 full-word planes
     m1_chain: tuple | None     # ((byte, id), ...) compare-chain for tiny sets
-    m2: _Probe | None          # exact16 on (c0<<8|c1)
-    m3: _Probe | None          # wide exact on (c0<<16|c1<<8|c2)
-    alive: _Probe | None       # resid16 on (c0<<24|c1<<16|c2<<8|c3)
+    m2: _Probe | None          # exact16 on LE key (c1<<8|c0)
+    m3: _Probe | None          # wide exact on LE key (c2<<16|c1<<8|c0)
+    alive: _Probe | None       # resid16 on LE key (c3<<24|..|c0)
     vmem_bytes: int
     m1_packed: bool = False    # m1 values u16-packed 2 per word (1 plane)
 
@@ -186,12 +189,12 @@ class SieveTables:
             if len(pat) == 1:
                 len1[pat[0]] = pid                   # later duplicate wins
             elif len(pat) == 2:
-                len2[(pat[0] << 8) | pat[1]] = pid
+                len2[(pat[1] << 8) | pat[0]] = pid
             elif len(pat) == 3:
-                len3[(pat[0] << 16) | (pat[1] << 8) | pat[2]] = pid
+                len3[(pat[2] << 16) | (pat[1] << 8) | pat[0]] = pid
             else:
                 alive_keys.add(
-                    (pat[0] << 24) | (pat[1] << 16) | (pat[2] << 8) | pat[3]
+                    (pat[3] << 24) | (pat[2] << 16) | (pat[1] << 8) | pat[0]
                 )
 
         m1 = None
@@ -388,7 +391,7 @@ def _make_kernel(tables: SieveTables, grid: int,
             return jnp.where(lanes >= LANES - k, b, a)
 
         c1, c2, c3 = shifted(1), shifted(2), shifted(3)
-        k4_ref[:] = (x << 24) | (c1 << 16) | (c2 << 8) | c3
+        k4_ref[:] = (c3 << 24) | (c2 << 16) | (c1 << 8) | x
 
         # remaining-bytes base for end-of-input masking: rd = n - position;
         # probes require rd > depth (their last byte read must be < n)
@@ -420,18 +423,18 @@ def _make_kernel(tables: SieveTables, grid: int,
                         dm = lambda hit, d: hit
                     match = jnp.zeros((8, LANES), jnp.int32)
                     if m1_chain is not None:
-                        c0 = (k4s >> 24) & 0xFF
+                        c0 = k4s & 0xFF
                         for ch, pid in m1_chain:
                             match = jnp.where(c0 == ch, pid, match)
                     elif has_m1 and tables.m1_packed:
-                        c0 = (k4s >> 24) & 0xFF
+                        c0 = k4s & 0xFF
                         w = _lookup(m1_planes, c0 >> 1, interpret)
                         match = jnp.where((c0 & 1) == 1, w >> 16, w) & 0xFFFF
                     elif has_m1:
-                        match = _lookup(m1_planes, (k4s >> 24) & 0xFF,
+                        match = _lookup(m1_planes, k4s & 0xFF,
                                         interpret)
                     if m2 is not None:
-                        k = (k4s >> 16) & 0xFFFF
+                        k = k4s & 0xFFFF
                         prod = k * _I32(m2.slot_mul)
                         slot = _probe_slot(m2, m2_disp, prod, interpret)
                         w = _lookup(m2_words, slot, interpret)
@@ -444,7 +447,7 @@ def _make_kernel(tables: SieveTables, grid: int,
                             hit = dm(((w >> 16) & 0xFFFF) == k, 1)
                             match = jnp.where(hit, w & 0x7FFF, match)
                     if m3 is not None:
-                        k = (k4s >> 8) & 0xFFFFFF
+                        k = k4s & 0xFFFFFF
                         prod = k * _I32(m3.slot_mul)
                         slot = _probe_slot(m3, m3_disp, prod, interpret)
                         w = _lookup(m3_words, slot, interpret)

@@ -409,7 +409,7 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
                 match = jnp.where(maxd > 0, m1, match)
             if st_t.m2 is not None:
                 m2 = st_t.m2
-                k2 = (b0 << 8) | b1
+                k2 = (b1 << 8) | b0    # sieve keys are little-endian
                 prod = k2 * _I32(m2.slot_mul)
                 m2_disp = None
                 if not m2.nodisp:
@@ -424,7 +424,7 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
                     match = jnp.where(hit2, w & 0x7FFF, match)
             if st_t.m3 is not None:
                 m3 = st_t.m3
-                k3 = (b0 << 16) | (b1 << 8) | b2
+                k3 = (b2 << 16) | (b1 << 8) | b0
                 prod = k3 * _I32(m3.slot_mul)
                 m3_disp = None
                 if not m3.nodisp:
