@@ -95,7 +95,8 @@ def main():
     nm = int((golden.match_dense(a, s) > 0).sum())
     emit("defcon_like_1.5pct", n, t,
          {"survivors": cnt2, "slice_matches_per_MB": nm,
-          "reference_GBps": 15.4, "kernel_ms": round(tk128 * 1e3, 2)})
+          "reference_GBps": 15.4, "kernel_ms": round(tk128 * 1e3, 2),
+          "walker_ms": round((t - tk128) * 1e3, 2)})
 
     # --- virus-dense worst case (heavy-path compute: kernel + rounds)
     nh = 8 << 20
@@ -119,7 +120,8 @@ def main():
                     k=4, reps=2)
     emit("virus_dense_worst", nh, t,
          {"survivors": count, "reference_worst_GBps": 1.12,
-          "kernel_ms": round(tkh * 1e3, 2)})
+          "kernel_ms": round(tkh * 1e3, 2),
+          "walker_ms": round((t - tkh) * 1e3, 2)})
 
     # --- compacted output (reduce) on ~3%-match corpus: the sieve path's
     # bitmap-fed rank-select reduce (pallas_sieve.reduce_from_dense)
