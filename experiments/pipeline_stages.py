@@ -116,8 +116,10 @@ def main():
         n123 = W._n_m123_refs(m.tables)
         wargs = list(m._table_args[:n123]) + [
             jax.device_put(x, dev) for x in wt.arrays]
-        f_walk = jax.jit(lambda p: walkfn(wargs, data2d, p, n_arr))
-        t_wk = timeit(f_walk, pos64)
+        # pass wargs/data2d as arguments — jit closures over big device
+        # arrays blow the remote-compile request limit (CLAUDE.md rule)
+        f_walk = jax.jit(lambda w, d2, p: walkfn(w, d2, p, n_arr))
+        t_wk = timeit(f_walk, wargs, data2d, pos64)
         print(f"windows+walk 64K : {t_wk*1e3:8.2f} ms", flush=True)
 
     # deferred scatter: 1M sorted-unique pairs into the dense result

@@ -1062,8 +1062,10 @@ class SieveMatcher:
         if n is None:
             n = int(data_u8.shape[0])
         # margin covers npad rounding + _compact's distinct out-of-range
-        # padding (npad + cap - 1 must stay within int32)
-        if n > (1 << 31) - (1 << 20):
+        # padding AND the deferred-scatter buffer init (bpos0 reaches
+        # npad + 2*R_BUF_ROUNDS*HEAVY_CAP - 1 ~ npad + 2^21; wrap would
+        # break the one-shot scatter's sorted-unique claim)
+        if n > (1 << 31) - (1 << 22):
             raise PfacError(
                 PfacStatus.INVALID_PARAMETER,
                 "input exceeds int32 position range; shard it "

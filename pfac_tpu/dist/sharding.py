@@ -32,6 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.automaton import Automaton
+from ..status import PfacError, PfacStatus
 from ..backends.xla import (
     SENTINEL,
     DEFAULT_TILE,
@@ -188,6 +189,14 @@ class ShardedMatcher:
         use_split = halo + 4 <= block
         npad = (shard_len + block if use_split
                 else sieve.npad_for(shard_len + halo, self.tile_rows))
+        # same int32 position-range bound as SieveMatcher._dispatch: the
+        # deferred-scatter buffer init reaches npad + ~2^21
+        if npad > (1 << 31) - (1 << 22):
+            raise PfacError(
+                PfacStatus.INVALID_PARAMETER,
+                "per-shard bytes exceed int32 position range; use more "
+                "shards or feed <2 GiB per shard",
+            )
         pipeline = sieve.build_pipeline(
             a, self._sieve_tables, npad=npad,
             cap=1 << 12, interpret=self.interpret,

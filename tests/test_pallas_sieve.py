@@ -152,13 +152,15 @@ class TestSieveMatcher:
         assert np.asarray(ids)[:c].tolist() == g_ids.tolist()
 
     def test_reduce_from_dense_chunked(self):
-        # count spanning multiple reduce chunks exercises the while_loop
-        from pfac_tpu.backends.pallas_sieve import reduce_from_dense
+        # count spanning multiple reduce chunks exercises the rank-select
+        # while_loop — call _reduce_rowgather directly: reduce_from_dense
+        # routes to the scatter-max variant by default, which has no chunks
+        from pfac_tpu.backends.xla import _reduce_rowgather
         import jax
         rng = np.random.default_rng(3)
         dense = np.where(rng.random(8192) < 0.3, 5, 0).astype(np.int32)
         ids, pos, count = jax.jit(
-            lambda r: reduce_from_dense(r, cap=512))(jax.device_put(dense))
+            lambda r: _reduce_rowgather(r, cap=512))(jax.device_put(dense))
         c = int(count)
         exp = np.flatnonzero(dense)
         assert c == exp.shape[0]
