@@ -114,6 +114,27 @@ class TestShardedSieve:
         expected = golden.match_dense(a, data)
         assert np.array_equal(sm.match(data), expected)
 
+    def test_csr_tier_sharded(self, mesh8, monkeypatch):
+        # wide-ID/big rulesets take the CSR walker tail inside each shard;
+        # sharded output must still equal golden, including boundary
+        # matches resolved through the halo
+        import pfac_tpu.backends.pallas_sieve as S
+        monkeypatch.setattr(S, "build_walk_tables_gated", lambda *args: None)
+        a = Automaton.from_patterns([b"abcdefgh", b"bcq", b"defghijk"])
+        sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
+        assert sm._csr_tables is not None
+        rng = np.random.default_rng(7)
+        data = bytearray(
+            rng.integers(97, 123, size=4096 * 8, dtype=np.uint8).tobytes())
+        shard = len(data) // 8
+        for off in range(0, len(data) - 16, 333):
+            data[off:off + 8] = b"abcdefgh"
+        for b in range(1, 8):       # straddle every shard boundary
+            data[b * shard - 3:b * shard + 5] = b"abcdefgh"
+        data = bytes(data)
+        expected = golden.match_dense(a, data)
+        assert np.array_equal(sm.match(data), expected)
+
     def test_pathological_corpus_handled(self, mesh8):
         # every position alive: the per-shard in-program heavy rounds
         # (or, on stage overflow, the XLA fallback) must stay exact
