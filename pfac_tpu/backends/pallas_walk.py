@@ -67,6 +67,10 @@ ROW_BYTES = 128
 ROW_WORDS = ROW_BYTES // 4
 GROUP = 8 * LANES          # survivors per kernel grid step
 
+WINDOWS_U8_BITCAST = False  # prepare_windows: u8 transpose + LE bitcast
+                            # vs i32 strided-select (A/B on chip —
+                            # experiments/windows_profile.py)
+
 
 # --------------------------------------------------------------------------
 # host-side table construction
@@ -528,6 +532,16 @@ def prepare_windows(data2d_u8, pos: jax.Array, w_raw: int):
             jnp.take(rows2d, jnp.minimum(r0 + i, nr - 1), axis=0)
             for i in range(w_raw // ROW_WORDS)
         ]
+    if WINDOWS_U8_BITCAST:
+        # stay u8 through the transpose (4x less data moved than the
+        # i32 strided-select form), then one pure little-endian bitcast
+        # (..., 4) u8 -> i32. Survivor-proportional, so the corpus-wide
+        # bitcast padding trap (DESIGN_NOTES) does not apply.
+        b = jnp.concatenate(parts, axis=1)                   # (cap, 4*w_raw)
+        t = (b.reshape(g, 8, LANES, w_raw, 4)
+             .transpose(0, 3, 1, 2, 4))
+        raw = jax.lax.bitcast_convert_type(t, jnp.int32)
+        return raw.reshape(g * w_raw * 8, LANES)
     b = jnp.concatenate(parts, axis=1).astype(jnp.int32)     # (cap, 4*w_raw)
     raw = (b[:, 0::4] | (b[:, 1::4] << 8)
            | (b[:, 2::4] << 16) | (b[:, 3::4] << 24))        # LE words

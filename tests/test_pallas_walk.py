@@ -5,6 +5,7 @@ these tests pin it against an independent brute-force longest-match and
 then (in TestWalkKernel) pin the Pallas kernel against the oracle in
 interpret mode.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -163,3 +164,24 @@ class TestWalkKernel:
             pats.append(bytes(alpha[rng.integers(0, 3, size=5)]))
         data = bytes(alpha[rng.integers(0, 3, size=300)])
         self._run(pats, data)
+
+
+class TestPrepareWindowsVariants:
+    def test_u8_bitcast_parity(self, monkeypatch):
+        # both lowerings of prepare_windows must agree bit-for-bit,
+        # including the sharded (main, tail) dual-gather layout
+        import pfac_tpu.backends.pallas_walk as W
+        rng = np.random.default_rng(11)
+        nrows, w_raw = 64, W.ROW_WORDS * 3
+        data2d = jnp.asarray(
+            rng.integers(0, 256, size=(nrows, 128), dtype=np.uint8))
+        cap = W.GROUP * 2
+        pos = jnp.asarray(np.sort(rng.choice(
+            nrows * 128, size=cap, replace=False)).astype(np.int32))
+        main, tail = data2d[:48], data2d[48:]
+        for src in (data2d, (main, tail)):
+            monkeypatch.setattr(W, "WINDOWS_U8_BITCAST", False)
+            base = np.asarray(W.prepare_windows(src, pos, w_raw))
+            monkeypatch.setattr(W, "WINDOWS_U8_BITCAST", True)
+            got = np.asarray(W.prepare_windows(src, pos, w_raw))
+            assert np.array_equal(base, got)
