@@ -145,3 +145,16 @@ class TestCsrPipeline:
         assert m.match(data).tolist() == \
             golden.match_dense(a, data).tolist()
         m.flush_checks()
+
+    def test_deferred_buffer_overflow_tail(self, monkeypatch):
+        # survivors past R_BUF_ROUNDS * HEAVY_CAP on the CSR branch: the
+        # direct-scatter tail after the one-shot buffer scatter must stay
+        # exact (mirror of the walker branch's tail test)
+        import pfac_tpu.backends.pallas_sieve as S
+        monkeypatch.setattr(S, "HEAVY_CAP", 1024)
+        monkeypatch.setattr(S, "R_BUF_ROUNDS", 2)
+        a, m = _csr_matcher([b"aaaa", b"aaaaaaaa"], monkeypatch)
+        data = b"a" * 9000      # ~9K survivors > 2 * 1024 buffered
+        assert m.match(data).tolist() == \
+            golden.match_dense(a, data).tolist()
+        m.flush_checks()
