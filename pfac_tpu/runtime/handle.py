@@ -108,8 +108,11 @@ class Matcher:
         self.placement = _coerce(PlacementMode, placement)
 
     # -------------------------------------------------------------- match
-    #: device engines address positions as int32; larger inputs stream
-    _CHUNK_LIMIT = (1 << 31) - (1 << 20)
+    #: device engines address positions as int32; larger inputs stream.
+    #: Must not exceed SieveMatcher._dispatch's position-range guard
+    #: ((1 << 31) - (1 << 22)) or near-2GiB inputs would error instead
+    #: of streaming.
+    _CHUNK_LIMIT = (1 << 31) - (1 << 22)
 
     def match(self, data) -> np.ndarray:
         """`PFAC_matchFromHost` analog: bytes in, int32[N] of pattern IDs out
