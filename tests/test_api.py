@@ -262,6 +262,27 @@ class TestDeferredErrorDiscipline:
         assert st == PfacStatus.INTERNAL_ERROR
         assert d_out == []   # no incomplete result handed to the caller
 
+    def test_async_check_mode_defers_to_synchronize(self, monkeypatch):
+        # PFAC_setAsyncCheckMode(True): matchFromDevice skips the per-call
+        # flush (returns SUCCESS despite the pending overflow) and the
+        # error surfaces at PFAC_synchronize instead
+        import jax
+        import numpy as np
+
+        from pfac_tpu.runtime import capi
+        from pfac_tpu.status import PfacStatus
+
+        handle = self._overflowing_handle(monkeypatch)
+        assert capi.PFAC_setAsyncCheckMode(handle, True) == PfacStatus.SUCCESS
+        d_input = jax.device_put(np.frombuffer(b"a" * 4500, dtype=np.uint8))
+        d_out = []
+        st = capi.PFAC_matchFromDevice(handle, d_input, 4500, d_out)
+        assert st == PfacStatus.SUCCESS and len(d_out) == 1
+        assert capi.PFAC_synchronize(handle) == PfacStatus.INTERNAL_ERROR
+        assert capi.PFAC_synchronize(handle) == PfacStatus.SUCCESS
+        assert capi.PFAC_setAsyncCheckMode(None, True) == \
+            PfacStatus.INVALID_HANDLE
+
     def test_synchronize_flushes_raw_engine_calls(self, monkeypatch):
         import jax
         import numpy as np
