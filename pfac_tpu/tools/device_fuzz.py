@@ -75,11 +75,23 @@ def main(argv=None) -> int:
                     help="also fuzz the sharded path on the local mesh")
     ap.add_argument("--heavy", action="store_true",
                     help="ALL cases virus-dense (default: every 5th case)")
+    ap.add_argument("--windows-bitcast", action="store_true",
+                    help="fuzz with the u8-bitcast prepare_windows variant")
     args = ap.parse_args(argv)
+
+    if args.windows_bitcast:
+        from ..backends import pallas_walk
+        pallas_walk.WINDOWS_U8_BITCAST = True
 
     import os
 
     import jax
+
+    # honor JAX_PLATFORMS=cpu even when a baked sitecustomize imported
+    # jax before the env var could take effect (the config update is the
+    # authoritative override on such images)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     # the remote-compile helper costs ~100 s/program on tunneled runtimes;
     # fuzz compiles one pipeline per case, so cache hits matter
