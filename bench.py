@@ -63,7 +63,25 @@ def main() -> None:
     from pfac_tpu.backends import golden
     from pfac_tpu.runtime.handle import Matcher
 
+    # device acquisition hangs indefinitely when the tunnel relay's
+    # remote end is down; emit an honest failure line instead of hanging
+    # the driver (the claim normally completes in seconds)
+    import threading
+
+    acquired = threading.Event()
+
+    def _watchdog():
+        if not acquired.wait(timeout=900):
+            print(json.dumps({
+                "metric": "dense_match_throughput_1chip", "value": 0.0,
+                "unit": "GB/s", "vs_baseline": 0.0,
+                "error": "device acquisition timed out (tunnel down)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    acquired.set()
 
     patterns = snort_like_patterns()
     automaton = Automaton.from_patterns(patterns)
