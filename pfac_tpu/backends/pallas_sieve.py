@@ -70,6 +70,10 @@ _I32 = lambda x: jnp.int32(np.int32(np.uint32(x)))
 # outweigh the extra ~2^-8 false survivors' walk cost
 _RESID8_THRESHOLD = 8192
 
+SPLIT_LOOPS = False   # sieve kernel: separate m123 and alive passes over
+                      # the staged k4 tile (smaller live sets per loop)
+                      # vs the fused single pass — A/B on chip
+
 # len-1 pattern count up to which the m1 probe is a compare/select chain
 # instead of a 2-plane direct table. The kernel is ISSUE-bound (~82 cy
 # per row-group ~= its ~86 VPU ops), so each chain entry costs its 2 ops
@@ -271,6 +275,14 @@ class SieveTables:
 # kernel
 # --------------------------------------------------------------------------
 
+LOOKUP_TREE_MIN = 4   # plane count at/above which the merge is a select
+                      # TREE (log2(P) bit tests + P-1 selects) instead of
+                      # the linear scan (P-1 compares + P-1 selects); the
+                      # tree saves P-1-log2(P) ops but holds all P gathered
+                      # values live at once — A/B'd on chip
+                      # (experiments/kernel_ab2.py); 2^30 disables
+
+
 def _lookup(ref, w, interpret: bool = False):
     """table[w] for (8,128) int32 word indices w, against a lane-major
     plane table ref of shape (P*8, 128): planes are scanned with the
@@ -293,6 +305,21 @@ def _lookup(ref, w, interpret: bool = False):
     if n_planes == 1:
         return jnp.take_along_axis(ref[0:8, :], lane, axis=1)
     pno = w >> 7
+    if n_planes >= LOOKUP_TREE_MIN:
+        gs = [jnp.take_along_axis(ref[p * 8:(p + 1) * 8, :], lane, axis=1)
+              for p in range(n_planes)]
+        bit = 1
+        while len(gs) > 1:
+            hi = (pno & bit) != 0
+            nxt = [jnp.where(hi, gs[i + 1], gs[i])
+                   for i in range(0, len(gs) - 1, 2)]
+            if len(gs) % 2:
+                # odd carry: its lower select bits were already resolved
+                # at the level where it was last paired
+                nxt.append(gs[-1])
+            gs = nxt
+            bit <<= 1
+        return gs[0]
     acc = jnp.take_along_axis(ref[0:8, :], lane, axis=1)
     for p in range(1, n_planes):
         g = jnp.take_along_axis(ref[p * 8:(p + 1) * 8, :], lane, axis=1)
@@ -322,7 +349,8 @@ def _probe_slot(p: "_Probe", disp_planes, prod, interpret: bool = False):
 
 def _make_kernel(tables: SieveTables, grid: int,
                  tile_rows: int = TILE_ROWS, interpret: bool = False,
-                 unroll: int = UNROLL, tail_split: bool = False):
+                 unroll: int = UNROLL, tail_split: bool = False,
+                 split_loops: bool = False):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
     TILE_ROWS_, SUB_ = tile_rows, tile_rows // 8
@@ -410,7 +438,8 @@ def _make_kernel(tables: SieveTables, grid: int,
         # (the common case) and the masked one only for the tail block —
         # the kernel is ISSUE-bound, so the ~8 dropped compare/and/select
         # ops per row-group are a direct win.
-        def make_sub_blk(masked: bool):
+        def make_sub_blk(masked: bool, do_m123: bool = True,
+                         do_alive: bool = True):
             def sub_blk(r, bits_acc):
                 phase = r % ips
                 for u in range(unroll):
@@ -421,63 +450,78 @@ def _make_kernel(tables: SieveTables, grid: int,
                         dm = lambda hit, d: hit & (rd > d)
                     else:
                         dm = lambda hit, d: hit
-                    match = jnp.zeros((8, LANES), jnp.int32)
-                    if m1_chain is not None:
-                        c0 = k4s & 0xFF
-                        for ch, pid in m1_chain:
-                            match = jnp.where(c0 == ch, pid, match)
-                    elif has_m1 and tables.m1_packed:
-                        c0 = k4s & 0xFF
-                        w = _lookup(m1_planes, c0 >> 1, interpret)
-                        match = jnp.where((c0 & 1) == 1, w >> 16, w) & 0xFFFF
-                    elif has_m1:
-                        match = _lookup(m1_planes, k4s & 0xFF,
-                                        interpret)
-                    if m2 is not None:
-                        k = k4s & 0xFFFF
-                        prod = k * _I32(m2.slot_mul)
-                        slot = _probe_slot(m2, m2_disp, prod, interpret)
-                        w = _lookup(m2_words, slot, interpret)
-                        if m2_keyw is not None:     # wide (ids > 15 bits)
-                            kw = _lookup(m2_keyw, slot, interpret)
-                            match = jnp.where(dm(kw == k, 1), w, match)
-                        else:
-                            # empty slots hold a member key in the key
-                            # field (chd.build_exact2): key equality alone
-                            hit = dm(((w >> 16) & 0xFFFF) == k, 1)
-                            match = jnp.where(hit, w & 0x7FFF, match)
-                    if m3 is not None:
-                        k = k4s & 0xFFFFFF
-                        prod = k * _I32(m3.slot_mul)
-                        slot = _probe_slot(m3, m3_disp, prod, interpret)
-                        w = _lookup(m3_words, slot, interpret)
-                        kw = _lookup(m3_keyw, slot, interpret)  # empty = a member key
-                        match = jnp.where(dm(kw == k, 2), w, match)
-                    if masked:
-                        match = jnp.where(rd > 0, match, 0)
-                    out_ref[pl.ds(rr * 8, 8), :] = match
-                    if alive is not None:
-                        prod = k4s * _I32(alive.slot_mul)
-                        slot = _probe_slot(alive, al_disp, prod, interpret)
-                        # stored residual = the product's low resid_bits
-                        if alive.resid_bits == 16:
-                            w = _lookup(al_words, slot >> 1, interpret)
-                            r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
-                            a = dm(r16 == (prod & 0xFFFF), 3)
-                        else:                   # 8-bit, packed 4/word
-                            w = _lookup(al_words, slot >> 2, interpret)
-                            lo = jnp.where((slot & 1) == 1, w >> 8, w)
-                            r8 = jnp.where((slot & 2) == 2, lo >> 16, lo) & 0xFF
-                            a = dm(r8 == (prod & 0xFF), 3)
-                        bw = jnp.sum(a.astype(jnp.int32) << srow, axis=0)
-                        bits_acc = jnp.where(srow == phase * unroll + u,
-                                             bw[None, :], bits_acc)
+                    if not do_m123:
+                        pass
+                    else:
+                        match = _m123(k4s, dm, masked,
+                                      rd if masked else None)
+                        out_ref[pl.ds(rr * 8, 8), :] = match
+                    if do_alive and alive is not None:
+                        bits_acc = _alive_bits(k4s, dm, bits_acc,
+                                               phase * unroll + u)
 
-                @pl.when(phase == ips - 1)
-                def _():
-                    bits_ref[pl.ds((r // ips) * 8, 8), :] = bits_acc
-                return jnp.where(phase == ips - 1, 0, bits_acc)
+                if do_alive:
+                    # stored even when alive is None (bits stay zero) so
+                    # kernel_only consumers always see initialized bitmaps
+                    @pl.when(phase == ips - 1)
+                    def _():
+                        bits_ref[pl.ds((r // ips) * 8, 8), :] = bits_acc
+                    return jnp.where(phase == ips - 1, 0, bits_acc)
+                return bits_acc
             return sub_blk
+
+        def _m123(k4s, dm, masked, rd):
+            match = jnp.zeros((8, LANES), jnp.int32)
+            if m1_chain is not None:
+                c0 = k4s & 0xFF
+                for ch, pid in m1_chain:
+                    match = jnp.where(c0 == ch, pid, match)
+            elif has_m1 and tables.m1_packed:
+                c0 = k4s & 0xFF
+                w = _lookup(m1_planes, c0 >> 1, interpret)
+                match = jnp.where((c0 & 1) == 1, w >> 16, w) & 0xFFFF
+            elif has_m1:
+                match = _lookup(m1_planes, k4s & 0xFF,
+                                interpret)
+            if m2 is not None:
+                k = k4s & 0xFFFF
+                prod = k * _I32(m2.slot_mul)
+                slot = _probe_slot(m2, m2_disp, prod, interpret)
+                w = _lookup(m2_words, slot, interpret)
+                if m2_keyw is not None:     # wide (ids > 15 bits)
+                    kw = _lookup(m2_keyw, slot, interpret)
+                    match = jnp.where(dm(kw == k, 1), w, match)
+                else:
+                    # empty slots hold a member key in the key
+                    # field (chd.build_exact2): key equality alone
+                    hit = dm(((w >> 16) & 0xFFFF) == k, 1)
+                    match = jnp.where(hit, w & 0x7FFF, match)
+            if m3 is not None:
+                k = k4s & 0xFFFFFF
+                prod = k * _I32(m3.slot_mul)
+                slot = _probe_slot(m3, m3_disp, prod, interpret)
+                w = _lookup(m3_words, slot, interpret)
+                kw = _lookup(m3_keyw, slot, interpret)  # empty = a member key
+                match = jnp.where(dm(kw == k, 2), w, match)
+            if masked:
+                match = jnp.where(rd > 0, match, 0)
+            return match
+
+        def _alive_bits(k4s, dm, bits_acc, srow_sel):
+            prod = k4s * _I32(alive.slot_mul)
+            slot = _probe_slot(alive, al_disp, prod, interpret)
+            # stored residual = the product's low resid_bits
+            if alive.resid_bits == 16:
+                w = _lookup(al_words, slot >> 1, interpret)
+                r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
+                a = dm(r16 == (prod & 0xFFFF), 3)
+            else:                   # 8-bit, packed 4/word
+                w = _lookup(al_words, slot >> 2, interpret)
+                lo = jnp.where((slot & 1) == 1, w >> 8, w)
+                r8 = jnp.where((slot & 2) == 2, lo >> 16, lo) & 0xFF
+                a = dm(r8 == (prod & 0xFF), 3)
+            bw = jnp.sum(a.astype(jnp.int32) << srow, axis=0)
+            return jnp.where(srow == srow_sel, bw[None, :], bits_acc)
 
         bits0 = jnp.zeros((8, LANES), jnp.int32)
         # rd_min over the block = n_loc - (TILE*LANES - 1) > 3
@@ -485,7 +529,17 @@ def _make_kernel(tables: SieveTables, grid: int,
 
         @pl.when(safe)
         def _():
-            jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(False), bits0)
+            if split_loops and alive is not None:
+                # two passes over the staged k4 tile: the m123 pass and
+                # the alive pass each hold a smaller live set, freeing
+                # the scheduler to pipeline their gathers (A/B on chip)
+                jax.lax.fori_loop(0, SUB_ // unroll,
+                                  make_sub_blk(False, True, False), bits0)
+                jax.lax.fori_loop(0, SUB_ // unroll,
+                                  make_sub_blk(False, False, True), bits0)
+            else:
+                jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(False),
+                                  bits0)
 
         @pl.when(jnp.logical_not(safe))
         def _():
@@ -645,7 +699,8 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                    kernel_only: bool = False, aligned: bool = False,
                    tile_rows: int = TILE_ROWS, walk_tables=None,
                    csr_tables=None, unroll: int = UNROLL,
-                   tail_split: bool = False):
+                   tail_split: bool = False,
+                   split_loops: bool | None = None):
     """Pure pipeline function for one static geometry (npad positions,
     survivor capacity cap):
 
@@ -674,8 +729,10 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             "tile_rows must be a positive multiple of 64",
         )
     grid = npad // (tile_rows * LANES)
+    if split_loops is None:
+        split_loops = SPLIT_LOOPS
     kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,
-                          tail_split)
+                          tail_split, split_loops)
     sub = tile_rows // 8
     a = automaton
     has_alive = tables.alive is not None

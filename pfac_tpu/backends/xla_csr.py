@@ -354,7 +354,13 @@ def build_csr_walker(t: CsrTables, *, cap: int, interpret: bool = False):
     stC = [s for s in t.steps if _HEAVY_D2 <= s.depth < _HEAVY_D3]
     stE = [s for s in t.steps if s.depth >= _HEAVY_D3]
 
-    wA = _stage_wout(min(t.max_len, d1))
+    # +4 lookahead: stage A's deepest step (depth d <= d1-2) reads byte
+    # d+3 for its klen-4 entries; without the extra word that read's
+    # static word index can land past the window when max_len % 4 == 0
+    # (JAX clamps it silently — garbage k4 bytes, ADVICE r3)
+    wA = _stage_wout(min(t.max_len, d1) + 4)
+    assert all(((s.depth + 3) >> 2) + 1 <= wA - 1 for s in stA), \
+        "stage-A window must cover every step's d+3 byte read"
     alignA = build_align(cap=cap, w_out=wA, interpret=interpret)
     alignB = alignC = alignE = None
     if stB:

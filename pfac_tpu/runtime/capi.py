@@ -244,6 +244,15 @@ def PFAC_matchFromDeviceReduce(
     handle, d_input, size, d_matched_result: MutableSequence,
     d_pos: MutableSequence, h_num_matched: MutableSequence
 ) -> PfacStatus:
+    """Device-resident compacted match.
+
+    With PFAC_setAsyncCheckMode(handle, True), a SUCCESS return is
+    PROVISIONAL: the buffers and h_num_matched may reflect a truncated
+    result while an overflow error is still pending on the dispatch
+    stream. Callers must not act on the count or buffers until a later
+    PFAC_synchronize(handle) returns SUCCESS (at which point every result
+    handed out since the previous synchronize is confirmed complete).
+    """
     if not isinstance(handle, _Handle):
         return PfacStatus.INVALID_HANDLE
     if handle.matcher is None:
@@ -272,7 +281,13 @@ def PFAC_setAsyncCheckMode(handle: _Handle, enabled: bool) -> PfacStatus:
     skip the ~30 ms tunneled device sync and deferred overflow errors
     surface at the next PFAC_synchronize (or a host-materializing call)
     instead — the engine's native batched-dispatch discipline. No
-    reference analog (CUDA synced per call by construction)."""
+    reference analog (CUDA synced per call by construction).
+
+    CONTRACT: while async checks are on, every result (and reduce count)
+    returned by PFAC_matchFromDevice[Reduce] is PROVISIONAL until the
+    next PFAC_synchronize succeeds; a pending overflow means those
+    results may be incomplete and must be recomputed after the error is
+    handled."""
     if not isinstance(handle, _Handle):
         return PfacStatus.INVALID_HANDLE
     handle.async_check = bool(enabled)
