@@ -159,9 +159,26 @@ def main() -> None:
         _ = np.asarray(out[:8])
         return time.perf_counter() - t0
 
-    t1 = min(batch(1) for _ in range(N_ITERS))
-    tk = min(batch(K_BATCH) for _ in range(N_ITERS))
-    dt = (tk - t1) / (K_BATCH - 1)
+    # variance discipline (round-4): one amortized estimate is not
+    # trustworthy — run-to-run noise is 5-10% on this runtime. Collect
+    # independent estimates until three of them sit within 10% of their
+    # median (up to 8 tries), and report that median plus the spread.
+    estimates = []
+    spread = None
+    for _ in range(8):
+        t1 = min(batch(1) for _ in range(2))
+        tk = min(batch(K_BATCH) for _ in range(2))
+        estimates.append((tk - t1) / (K_BATCH - 1))
+        if len(estimates) >= 3:
+            se = sorted(estimates)
+            best3 = min((se[i:i + 3] for i in range(len(se) - 2)),
+                        key=lambda w: w[-1] - w[0])
+            spread = (best3[-1] - best3[0]) / best3[1]
+            if spread <= 0.10:
+                dt = best3[1]
+                break
+    else:
+        dt = float(np.median(estimates))
     if hasattr(eng, "flush_checks"):
         eng.flush_checks()                    # validate deferred survivor caps
     gbps = n / dt / 1e9
@@ -178,6 +195,8 @@ def main() -> None:
         "matches": n_matched,
         "iters": N_ITERS,
         "time_s": round(dt, 4),
+        "estimates_ms": [round(e * 1e3, 2) for e in estimates],
+        "spread": None if spread is None else round(spread, 4),
         "device": str(dev),
     }))
 

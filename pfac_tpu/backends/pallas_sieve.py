@@ -74,6 +74,14 @@ SPLIT_LOOPS = False   # sieve kernel: separate m123 and alive passes over
                       # the staged k4 tile (smaller live sets per loop)
                       # vs the fused single pass — A/B on chip
 
+DENSE_ESCAPE_DIV = 4  # dense-block escape threshold: a grid block whose
+                      # survivor count >= block_positions/DIV walks ALL its
+                      # positions in-kernel (VMEM depth-sliced tables)
+                      # instead of feeding per-survivor walker rounds.
+                      # Crossover: rounds cost ~35 ns/survivor; the
+                      # in-kernel walk costs ~0.3 ms/block at full depth
+                      # but ~5 us/block for shallow rulesets. 0 disables.
+
 # len-1 pattern count up to which the m1 probe is a compare/select chain
 # instead of a 2-plane direct table. The kernel is ISSUE-bound (~82 cy
 # per row-group ~= its ~86 VPU ops), so each chain entry costs its 2 ops
@@ -350,13 +358,18 @@ def _probe_slot(p: "_Probe", disp_planes, prod, interpret: bool = False):
 def _make_kernel(tables: SieveTables, grid: int,
                  tile_rows: int = TILE_ROWS, interpret: bool = False,
                  unroll: int = UNROLL, tail_split: bool = False,
-                 split_loops: bool = False):
+                 split_loops: bool = False, walk_tables=None):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
     TILE_ROWS_, SUB_ = tile_rows, tile_rows // 8
 
     m1_chain = tables.m1_chain
     sg = grid - 1                   # tail-block grid step (tail_split)
+    wt = walk_tables                # non-None => dense-block escape armed
+    n_walk = 0
+    if wt is not None:
+        from .pallas_walk import n_walk_refs
+        n_walk = n_walk_refs(wt)
 
     def kernel(n_ref, data_ref, halo_ref, *refs):
         i = 0
@@ -384,8 +397,13 @@ def _make_kernel(tables: SieveTables, grid: int,
             if not alive.nodisp:
                 al_disp = refs[i]; i += 1
             al_words = refs[i]; i += 1
+        walk_refs = None
+        if wt is not None:
+            walk_refs = refs[i: i + n_walk]; i += n_walk
         out_ref, bits_ref = refs[i], refs[i + 1]
         k4_ref = refs[i + 2]
+        if wt is not None:
+            b8_ref, st8, mt8 = refs[i + 3], refs[i + 4], refs[i + 5]
 
         g = pl.program_id(0)
         n = n_ref[0, 0]
@@ -544,6 +562,59 @@ def _make_kernel(tables: SieveTables, grid: int,
         @pl.when(jnp.logical_not(safe))
         def _():
             jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(True), bits0)
+
+        # ---- dense-block escape: when a block's survivor count is
+        # pathological (all-match corpora, reference Benchmark I:
+        # PFAC_hash_draft.pdf Table 4), per-survivor XLA walker rounds
+        # would cost ~35 ns x 64K survivors PER BLOCK. Instead walk every
+        # position of the block here against the VMEM depth-sliced
+        # tables (bytes come straight from the tile + halo — no window
+        # gathers, no compaction) and zero the block's bitmap so the XLA
+        # tail sees nothing. Cost when not taken: ~60 vector ops per
+        # block for the SWAR popcount of the bitmap.
+        if wt is not None:
+            from .pallas_walk import emit_block_walk
+
+            bb = bits_ref[:]                 # (SUB_, 128), lanes < 256
+            c1_ = bb - ((bb >> 1) & 0x55)
+            c2_ = (c1_ & 0x33) + ((c1_ >> 2) & 0x33)
+            c4_ = (c2_ + (c2_ >> 4)) & 0x0F
+            blk_cnt = jnp.sum(c4_)
+            thresh = (TILE_ROWS_ * LANES) // DENSE_ESCAPE_DIV
+
+            @pl.when(blk_cnt >= thresh)
+            def _():
+                for r in range(SUB_):
+                    b8_ref[pl.ds(r * 8, 8), :] = (
+                        data_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
+                for r in range(HALO_ROWS // 8):
+                    b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
+                        halo_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
+
+                def esc_group(rr, c):
+                    def byte(j):
+                        r0 = rr * 8 + (j >> 7)
+                        k = j & 127
+                        a = b8_ref[pl.ds(r0, 8), :]
+                        if k == 0:
+                            return a
+                        b = b8_ref[pl.ds(r0 + 1, 8), :]
+                        ra = pltpu.roll(a, LANES - k, 1)
+                        rb = pltpu.roll(b, LANES - k, 1)
+                        lanes_ = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, LANES), 1)
+                        return jnp.where(lanes_ >= LANES - k, rb, ra)
+
+                    maxd = (n_loc - rr * (8 * LANES)) - base8
+                    emit_block_walk(wt, walk_refs, byte, maxd, st8, mt8,
+                                    interpret)
+                    wm = mt8[:]
+                    cur = out_ref[pl.ds(rr * 8, 8), :]
+                    out_ref[pl.ds(rr * 8, 8), :] = jnp.where(wm > 0, wm, cur)
+                    return c
+
+                jax.lax.fori_loop(0, SUB_, esc_group, jnp.int32(0))
+                bits_ref[:] = jnp.zeros((SUB_, LANES), jnp.int32)
 
     return kernel
 
@@ -731,12 +802,20 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
     grid = npad // (tile_rows * LANES)
     if split_loops is None:
         split_loops = SPLIT_LOOPS
+    # dense-block escape: armed only for the walker tier on the local
+    # (non-tail-split) layout — the sharded layout's final block reads
+    # bytes through a separate tail ref the escape doesn't thread (yet)
+    esc_wt = (walk_tables if (walk_tables is not None and not tail_split
+                              and DENSE_ESCAPE_DIV > 0
+                              and tables.alive is not None) else None)
     kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,
-                          tail_split, split_loops)
+                          tail_split, split_loops, walk_tables=esc_wt)
     sub = tile_rows // 8
     a = automaton
     has_alive = tables.alive is not None
     table_shapes = [t.shape for t in tables.arrays]
+    if esc_wt is not None:
+        table_shapes = table_shapes + [t.shape for t in esc_wt.arrays]
 
     tab_specs = [
         pl.BlockSpec((shape[0], LANES), lambda i: (0, 0),
@@ -816,15 +895,23 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
             padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
             data2d = padded.reshape(rows_u8, LANES)
+        esc_args = []
+        if esc_wt is not None:
+            esc_args = list(walk_args[:len(esc_wt.arrays)])
+        scratch = [pltpu.VMEM((tile_rows, LANES), jnp.int32)]
+        if esc_wt is not None:
+            scratch += [pltpu.VMEM((tile_rows + HALO_ROWS, LANES), jnp.int32),
+                        pltpu.VMEM((8, LANES), jnp.int32),
+                        pltpu.VMEM((8, LANES), jnp.int32)]
         out, bits = pl.pallas_call(
             kernel,
             grid=(grid,),
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((tile_rows, LANES), jnp.int32)],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(n_smem, data2d, data2d, *extra, *sieve_args)
+        )(n_smem, data2d, data2d, *extra, *sieve_args, *esc_args)
         matches = out.reshape(-1)
         if kernel_only:
             return matches, bits

@@ -490,6 +490,81 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
     return kernel
 
 
+def n_walk_refs(t: WalkTables) -> int:
+    """How many plane arrays t.arrays contributes (kernel ref arity)."""
+    return len(t.arrays)
+
+
+def emit_block_walk(t: WalkTables, refs, byte, maxd, st, mt,
+                    interpret: bool = False):
+    """Emit the full depth-sliced walk for one (8,128) position group,
+    reading bytes through `byte(j)` (relative byte j for every lane).
+
+    refs: t.arrays' kernel refs in t.arrays order. st/mt: (8,128) i32
+    scratch refs (state / best match). On return mt holds the longest
+    length>=4 match id per lane (0 if none), masked by maxd. The step
+    loop early-exits per vreg every _EXIT_BLOCK steps, so shallow
+    corpora pay only the entry probe. Used by the sieve kernel's
+    dense-block escape (pallas_sieve: all-match regimes) — the probes
+    and semantics are identical to the survivor walker above."""
+    i = 0
+
+    def take(p):
+        nonlocal i
+        if p is None:
+            return None
+        r = list(refs[i: i + _nrefs(p)])
+        i += _nrefs(p)
+        return r
+
+    entry_r = take(t.entry)
+    entryf_r = take(t.entry_final)
+    step_r = [(take(s.main), take(s.odd), take(s.even)) for s in t.steps]
+    assert i == len(t.arrays)
+
+    b0, b1, b2, b3 = byte(0), byte(1), byte(2), byte(3)
+    key4 = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+    ok4 = maxd > 3
+    hit, idx4 = _probe(t.entry, entry_r, key4, interpret)
+    st[:] = jnp.where(hit & ok4, idx4, DEAD)
+    match = jnp.zeros((8, LANES), jnp.int32)
+    if t.entry_final is not None:
+        fh, pid = _probe(t.entry_final, entryf_r, key4, interpret)
+        match = jnp.where(fh & ok4, pid, match)
+    mt[:] = match
+
+    def run_block(blk):
+        state, match = st[:], mt[:]
+        for s, (main_r, odd_r, even_r) in blk:
+            d = s.depth
+            c1 = byte(d)
+            if s.odd is not None:
+                oh, pid = _probe(s.odd, odd_r, (state << 8) | c1, interpret)
+                match = jnp.where(oh & (maxd > d), pid, match)
+            if s.main is None:
+                break
+            c2 = byte(d + 1)
+            mkey = (state << 16) | (c1 << 8) | c2
+            mh, nxt = _probe(s.main, main_r, mkey, interpret)
+            mh = mh & (maxd > d + 1)
+            if s.even is not None:
+                eh, pid = _probe(s.even, even_r, mkey, interpret)
+                match = jnp.where(eh & (maxd > d + 1), pid, match)
+            state = jnp.where(mh, nxt, DEAD)
+        st[:] = state
+        mt[:] = match
+
+    steps = list(zip(t.steps, step_r))
+    for bi in range(0, len(steps), _EXIT_BLOCK):
+        blk = steps[bi: bi + _EXIT_BLOCK]
+        if bi == 0:
+            run_block(blk)
+        else:
+            @pl.when(jnp.any(st[:] != DEAD))
+            def _(blk=blk):
+                run_block(blk)
+
+
 def window_geometry(max_len: int) -> tuple[int, int]:
     """(w_out aligned words, w_raw gathered words) for a ruleset."""
     j_max = max_len                       # deepest byte index read

@@ -408,3 +408,47 @@ class TestTileGeometry:
         with pytest.raises(PfacError):
             m.match(b"ababab")
 
+
+
+class TestDenseBlockEscape:
+    """The in-kernel dense-block escape (all-match regimes): blocks whose
+    survivor count crosses block_positions/DENSE_ESCAPE_DIV walk every
+    position in-kernel and zero their bitmaps (reference Benchmark I,
+    PFAC/doc/PFAC_hash_draft.pdf Table 4)."""
+
+    def test_all_match_single_pattern(self):
+        a = Automaton.from_patterns([b"aaaa"])
+        m = SieveMatcher(a, interpret=True)
+        data = b"a" * 3000
+        exp = golden.match_dense_batch(a, data)
+        assert np.array_equal(m.match(data), exp)
+
+    def test_mixed_density_blocks_and_deep_patterns(self):
+        rng = np.random.default_rng(3)
+        pats = [bytes(rng.integers(0, 256, size=int(l), dtype=np.uint8))
+                for l in list(rng.integers(1, 4, size=10))
+                + list(rng.integers(4, 30, size=60))]
+        pats = list(dict.fromkeys(pats)) + [b"zzzz", b"zzzzzzzz"]
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        n = 3 * 8192 + 1111          # several blocks at tile_rows=64
+        d = rng.integers(0, 256, size=n, dtype=np.uint8)
+        d[8192:16384] = ord("z")     # middle block escapes; others sparse
+        for i in range(0, n - 40, 177):
+            p = pats[int(rng.integers(0, len(pats)))]
+            d[i:i + len(p)] = np.frombuffer(p, np.uint8)
+        exp = golden.match_dense_batch(a, bytes(d))
+        assert np.array_equal(m.match(bytes(d)), exp)
+
+    def test_escape_block_boundary_straddle(self):
+        # a long match STARTING in an escaped block must resolve through
+        # the halo bytes of the next block
+        pats = [b"z" * 40]
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        n = 2 * 8192
+        d = np.zeros(n, np.uint8)
+        d[8192 - 20: 8192 + 60] = ord("z")   # straddles the block edge
+        d[:8192] = ord("z")                  # block 0 all-survivor
+        exp = golden.match_dense_batch(a, bytes(d))
+        assert np.array_equal(m.match(bytes(d)), exp)

@@ -20,6 +20,11 @@ from pfac_tpu.backends import golden
 
 
 def amortized(dispatch, k=6, reps=3):
+    """Median-of-3-consistent amortized estimate + its spread.
+
+    Collects independent (t_k - t_1)/(k-1) estimates until three sit
+    within 10% of their median (at most 6 tries) — round-4 variance
+    discipline (VERDICT r3 #7). Returns (seconds, spread, n_estimates)."""
     out = dispatch()
     _ = np.asarray(out[:1])
 
@@ -30,9 +35,19 @@ def amortized(dispatch, k=6, reps=3):
         _ = np.asarray(o[:1])
         return time.perf_counter() - t0
 
-    t1 = min(batch(1) for _ in range(reps + 1))
-    tk = min(batch(k) for _ in range(reps))
-    return (tk - t1) / (k - 1)
+    estimates = []
+    for _ in range(6):
+        t1 = min(batch(1) for _ in range(2))
+        tk = min(batch(k) for _ in range(max(2, reps - 1)))
+        estimates.append((tk - t1) / (k - 1))
+        if len(estimates) >= 3:
+            se = sorted(estimates)
+            best3 = min((se[i:i + 3] for i in range(len(se) - 2)),
+                        key=lambda w: w[-1] - w[0])
+            spread = (best3[-1] - best3[0]) / best3[1]
+            if spread <= 0.10:
+                return best3[1], spread, len(estimates)
+    return float(np.median(estimates)), spread, len(estimates)
 
 
 def main():
@@ -62,14 +77,17 @@ def main():
     dd = jax.device_put(data)
     n_arr = jnp.full((1,), n, jnp.int32)
     fn = m._pipeline_fn(S.npad_for(n), 4096, aligned=True)
-    t = amortized(lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0])
+    t, sp, ne = amortized(lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0])
     # kernel-only split for this geometry (VERDICT r2 #8): how each
     # regime's milliseconds divide between the sieve kernel and the tail
     kfn = jax.jit(S.build_pipeline(m.automaton, m.tables,
                                    npad=S.npad_for(n), cap=4096,
-                                   aligned=True, kernel_only=True))
-    tk128 = amortized(lambda: kfn(m._table_args, m._dense_flat, dd, n_arr)[0])
-    emit("dense_random", n, t, {"kernel_ms": round(tk128 * 1e3, 2)})
+                                   aligned=True, kernel_only=True,
+                                   walk_tables=m.walk_tables))
+    tk128, ksp, _ = amortized(lambda: kfn(m._table_args, m._dense_flat, dd, n_arr)[0])
+    emit("dense_random", n, t, {"kernel_ms": round(tk128 * 1e3, 2),
+                                "spread": round(sp, 4),
+                                "kernel_spread": round(ksp, 4)})
 
     # --- DEFCON-like: text traffic with ~1.5% planted pattern content.
     # Survivor count (~90K/128MB) exceeds the heavy threshold; the
@@ -90,13 +108,13 @@ def main():
     dd2 = jax.device_put(arr)
     _, cnt2a, _ = fn(m._table_args, m._dense_flat, dd2, n_arr)
     cnt2 = int(cnt2a)
-    t = amortized(lambda: fn(m._table_args, m._dense_flat, dd2, n_arr)[0],
-                  k=4, reps=2)
+    t, sp, ne = amortized(lambda: fn(m._table_args, m._dense_flat, dd2, n_arr)[0],
+                      k=4, reps=2)
     nm = int((golden.match_dense(a, s) > 0).sum())
     emit("defcon_like_1.5pct", n, t,
          {"survivors": cnt2, "slice_matches_per_MB": nm,
           "reference_GBps": 15.4, "kernel_ms": round(tk128 * 1e3, 2),
-          "walker_ms": round((t - tk128) * 1e3, 2)})
+          "walker_ms": round((t - tk128) * 1e3, 2), "spread": round(sp, 4)})
 
     # --- virus-dense worst case (heavy-path compute: kernel + rounds)
     nh = 8 << 20
@@ -111,26 +129,27 @@ def main():
     hfn = m._pipeline_fn(S.npad_for(nh), 4096, aligned=(nh == S.npad_for(nh)))
     _, hcnt, _ = hfn(m._table_args, m._dense_flat, hd, hn)
     count = int(hcnt)
-    t = amortized(lambda: hfn(m._table_args, m._dense_flat, hd, hn)[0],
-                  k=3, reps=2)
+    t, sp, ne = amortized(lambda: hfn(m._table_args, m._dense_flat, hd, hn)[0],
+                      k=3, reps=2)
     hkfn = jax.jit(S.build_pipeline(
         m.automaton, m.tables, npad=S.npad_for(nh), cap=4096,
-        aligned=(nh == S.npad_for(nh)), kernel_only=True))
-    tkh = amortized(lambda: hkfn(m._table_args, m._dense_flat, hd, hn)[0],
-                    k=4, reps=2)
+        aligned=(nh == S.npad_for(nh)), kernel_only=True,
+        walk_tables=m.walk_tables))
+    tkh, _, _ = amortized(lambda: hkfn(m._table_args, m._dense_flat, hd, hn)[0],
+                        k=4, reps=2)
     emit("virus_dense_worst", nh, t,
          {"survivors": count, "reference_worst_GBps": 1.12,
           "kernel_ms": round(tkh * 1e3, 2),
-          "walker_ms": round((t - tkh) * 1e3, 2)})
+          "walker_ms": round((t - tkh) * 1e3, 2), "spread": round(sp, 4)})
 
     # --- compacted output (reduce) on ~3%-match corpus: the sieve path's
     # bitmap-fed rank-select reduce (pallas_sieve.reduce_from_dense)
     mvec = np.where(rng.integers(0, 100, size=64 << 20) < 3, 7, 0).astype(np.int32)
     md = jax.device_put(mvec)
     rfn = jax.jit(S.reduce_from_dense)
-    t = amortized(lambda: rfn(md)[0], k=4, reps=2)
+    t, sp, ne = amortized(lambda: rfn(md)[0], k=4, reps=2)
     emit("reduce_device_3pct", 64 << 20, t,
-         {"matches": int((mvec > 0).sum())})
+         {"matches": int((mvec > 0).sum()), "spread": round(sp, 4)})
 
     # --- big-ruleset tier: 100K ClamAV-scale signatures (lengths 8-200,
     # binary) over 64 MB of DEFCON-like text with ~0.2% planted content.
@@ -170,13 +189,45 @@ def main():
     n3_arr = jnp.full((1,), n2, jnp.int32)
     bfn = m2._pipeline_fn(S.npad_for(n2), 4096, aligned=True)
     _, cnt3, _ = bfn(m2._table_args, m2._dense_flat, dd3, n3_arr)
-    t = amortized(lambda: bfn(m2._table_args, m2._dense_flat, dd3, n3_arr)[0],
-                  k=3, reps=2)
+    t, sp, ne = amortized(lambda: bfn(m2._table_args, m2._dense_flat, dd3, n3_arr)[0],
+                      k=3, reps=2)
     emit("big_ruleset_100k_defcon", n2, t,
          {"survivors": int(cnt3), "patterns": len(bpats),
           "alive_resid_bits": m2.tables.alive.resid_bits,
           "csr_hbm_mb": round(m2.csr_tables.hbm_bytes / 1e6, 1),
-          "r2_fallback_GBps_class": 0.02})
+          "r2_fallback_GBps_class": 0.02, "spread": round(sp, 4)})
+
+    # --- Benchmark-I analogs (reference: PFAC/doc/PFAC_hash_draft.pdf
+    # Table 4): a single short pattern over 100 MB of (a) all-'a' input —
+    # EVERY position matches, the pathological all-survivor regime — and
+    # (b) all-'b' input — zero matches, the pure-filter floor. Pattern
+    # "aaaa" (len 4) forces every position through the survivor tail,
+    # exercising the pipeline's last-resort dense path.
+    a3 = Automaton.from_patterns([b"aaaa"])
+    m3 = S.SieveMatcher(a3)
+    n4 = 100 << 20
+    all_a = np.full(n4, ord("a"), np.uint8)
+    all_b = np.full(n4, ord("b"), np.uint8)
+    s3 = bytes(all_a[: 1 << 16].tobytes())
+    assert np.array_equal(m3.match(s3), golden.match_dense_batch(a3, s3)), \
+        "all-match parity failed"
+    n4_arr = jnp.full((1,), n4, jnp.int32)
+    afn = m3._pipeline_fn(S.npad_for(n4), 4096,
+                          aligned=(n4 == S.npad_for(n4)))
+    da = jax.device_put(all_a)
+    _, cnt_a, _ = afn(m3._table_args, m3._dense_flat, da, n4_arr)
+    t, sp, ne = amortized(
+        lambda: afn(m3._table_args, m3._dense_flat, da, n4_arr)[0],
+        k=2, reps=2)
+    emit("benchmark1_all_match", n4, t,
+         {"survivors": int(cnt_a), "reference_GBps": 12.9,
+          "spread": round(sp, 4)})
+    db = jax.device_put(all_b)
+    t, sp, ne = amortized(
+        lambda: afn(m3._table_args, m3._dense_flat, db, n4_arr)[0],
+        k=6, reps=2)
+    emit("benchmark1_no_match", n4, t,
+         {"reference_GBps": 24.5, "spread": round(sp, 4)})
 
 
 if __name__ == "__main__":
