@@ -1,0 +1,96 @@
+"""Dense-block escape A/B: all-match + virus-dense corpora, escape on/off.
+
+Reference Benchmark I (PFAC/doc/PFAC_hash_draft.pdf Table 4): a single
+pattern over 100M identical bytes — every position matches. Without the
+escape this feeds ~1500 per-survivor walker rounds per 100 MB; with it,
+each pathological block walks in-kernel. Also sweeps DENSE_ESCAPE_DIV on
+the virus-dense corpus (4.7% density sits near the crossover).
+
+Prints one JSON line per (corpus, escape_div) with amortized ms.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def amortized(dispatch, k=3, reps=2):
+    out = dispatch()
+    _ = np.asarray(out[:1])
+
+    def batch(j):
+        t0 = time.perf_counter()
+        for _ in range(j):
+            o = dispatch()
+        _ = np.asarray(o[:1])
+        return time.perf_counter() - t0
+
+    t1 = min(batch(1) for _ in range(reps + 1))
+    tk = min(batch(k) for _ in range(reps))
+    return (tk - t1) / (k - 1)
+
+
+def main():
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/pfac_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bench import snort_like_patterns
+    from pfac_tpu import Automaton
+    from pfac_tpu.backends import golden
+    import pfac_tpu.backends.pallas_sieve as S
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(42)
+
+    # corpus 1: all-match, 32 MB (keep escape-off runs affordable)
+    a1 = Automaton.from_patterns([b"aaaa"])
+    n1 = 32 << 20
+    d1 = jax.device_put(np.full(n1, ord("a"), np.uint8), dev)
+
+    # corpus 2: virus-dense 8 MB on the Snort-scale ruleset
+    pats = snort_like_patterns()
+    a2 = Automaton.from_patterns(pats)
+    chunks, sz = [], 0
+    n2 = 8 << 20
+    while sz < n2:
+        p = pats[int(rng.integers(0, len(pats)))]
+        chunks.append(p)
+        sz += len(p)
+    d2 = jax.device_put(
+        np.frombuffer(b"".join(chunks)[:n2], dtype=np.uint8), dev)
+
+    for label, a, dd, n in (("all_match_32mb", a1, d1, n1),
+                            ("virus_dense_8mb", a2, d2, n2)):
+        exp_slice = golden.match_dense_batch(a, bytes(np.asarray(dd[:65536])))
+        for div in (0, 16, 8, 4, 2):
+            if div == 0 and label == "all_match_32mb":
+                k, reps = 2, 1          # escape-off all-match is seconds/run
+            else:
+                k, reps = 3, 2
+            S.DENSE_ESCAPE_DIV = div
+            m = S.SieveMatcher(a, device=dev)
+            npad = S.npad_for(n)
+            fn = m._pipeline_fn(npad, 4096, aligned=(n == npad))
+            n_arr = jnp.full((1,), n, jnp.int32)
+            out, cnt, _ = fn(m._table_args, m._dense_flat, dd, n_arr)
+            ok = np.array_equal(np.asarray(out[:65536]), exp_slice)
+            t = amortized(
+                lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0],
+                k=k, reps=reps)
+            print(json.dumps({"corpus": label, "escape_div": div,
+                              "ms": round(t * 1e3, 2),
+                              "GBps": round(n / t / 1e9, 3),
+                              "survivors_post": int(cnt),
+                              "parity_slice": bool(ok)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -581,15 +581,36 @@ def _make_kernel(tables: SieveTables, grid: int,
             c4_ = (c2_ + (c2_ >> 4)) & 0x0F
             blk_cnt = jnp.sum(c4_)
             thresh = (TILE_ROWS_ * LANES) // DENSE_ESCAPE_DIV
+            esc = blk_cnt >= thresh
+            if tail_split:
+                # the tail block's positions are the neighbor's (owned
+                # slice drops them) — never escape it; the last REAL
+                # block's lookahead lives in the tail buffer, not halo_ref
+                esc = esc & (g < sg)
 
-            @pl.when(blk_cnt >= thresh)
+            @pl.when(esc)
             def _():
                 for r in range(SUB_):
                     b8_ref[pl.ds(r * 8, 8), :] = (
                         data_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
-                for r in range(HALO_ROWS // 8):
-                    b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
-                        halo_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
+                if tail_split:
+                    @pl.when(g == sg - 1)
+                    def _():
+                        for r in range(HALO_ROWS // 8):
+                            b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
+                                tail_ref[pl.ds(r * 8, 8), :]
+                                .astype(jnp.int32))
+
+                    @pl.when(g < sg - 1)
+                    def _():
+                        for r in range(HALO_ROWS // 8):
+                            b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
+                                halo_ref[pl.ds(r * 8, 8), :]
+                                .astype(jnp.int32))
+                else:
+                    for r in range(HALO_ROWS // 8):
+                        b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
+                            halo_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
 
                 def esc_group(rr, c):
                     def byte(j):
@@ -802,10 +823,10 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
     grid = npad // (tile_rows * LANES)
     if split_loops is None:
         split_loops = SPLIT_LOOPS
-    # dense-block escape: armed only for the walker tier on the local
-    # (non-tail-split) layout — the sharded layout's final block reads
-    # bytes through a separate tail ref the escape doesn't thread (yet)
-    esc_wt = (walk_tables if (walk_tables is not None and not tail_split
+    # dense-block escape: armed for the walker tier on both layouts (the
+    # sharded tail-split form stages its last real block's lookahead from
+    # the tail buffer and never escapes the tail block itself)
+    esc_wt = (walk_tables if (walk_tables is not None
                               and DENSE_ESCAPE_DIV > 0
                               and tables.alive is not None) else None)
     kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,

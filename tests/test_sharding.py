@@ -202,3 +202,24 @@ class TestShardedDeviceReduce:
         g_ids, g_pos, g_count = golden.reduce_result(golden.match_dense(a, data))
         assert (count, pos.tolist(), ids.tolist()) == (
             g_count, g_pos.tolist(), g_ids.tolist())
+
+
+class TestShardedDenseEscape:
+    """All-match corpora on the tail-split layout: every shard's blocks
+    cross the dense-block escape threshold; the last real block's
+    lookahead must come from the tail buffer (next shard's head)."""
+
+    def test_all_match_across_shards(self, mesh8):
+        import numpy as np
+        from pfac_tpu import Automaton
+        from pfac_tpu.backends import golden
+        from pfac_tpu.dist.sharding import ShardedMatcher
+
+        a = Automaton.from_patterns([b"aaaa", b"a" * 40, b"abab"])
+        sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
+        n = 8 * 8192 + 777
+        d = np.full(n, ord("a"), np.uint8)
+        d[3000:3010] = ord("b")
+        exp = golden.match_dense_batch(a, bytes(d))
+        assert np.array_equal(sm.match(bytes(d)), exp)
+        assert sm.match_count(bytes(d)) == int((exp > 0).sum())
