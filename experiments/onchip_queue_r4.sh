@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 on-chip capture queue (MEASUREMENTS.md order). Run from repo root:
+#   bash experiments/onchip_queue_r4.sh
+# Each step logs into experiments/logs_r4/ (committed — VERDICT r3 #5).
+# Steps run under timeout so a tunnel stall can't wedge the queue.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p experiments/logs_r4
+L=experiments/logs_r4
+
+run() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name: $* (timeout ${tmo}s)" | tee -a "$L/queue.log"
+  timeout "$tmo" "$@" > "$L/$name.log" 2>&1
+  rc=$?
+  echo "=== $name rc=$rc $(date -u +%H:%M:%S)" | tee -a "$L/queue.log"
+}
+
+# 1. kernel variant sweep -> pick LOOKUP_TREE_MIN / SPLIT_LOOPS / UNROLL
+run kernel_ab2 4800 python experiments/kernel_ab2.py
+
+# 2. headline bench (3 runs for the record; bench.py self-reports spread)
+run bench1 2400 python bench.py
+run bench2 1200 python bench.py
+run bench3 1200 python bench.py
+
+# 3. reduce A/B (settles the r3 49.9-vs-43.3 contradiction)
+run reduce_micro 2400 python experiments/reduce_micro.py
+
+# 4. windows layout A/B
+run windows_profile 2400 python experiments/windows_profile.py
+
+# 5. walker round stage split
+run round_profile 2400 python experiments/round_profile.py
+
+# 6. dense-block escape threshold sweep
+run allmatch_escape 3600 python experiments/allmatch_escape.py
+
+# 7. full regime matrix (writes BENCH_REGIMES.json)
+run bench_matrix 6000 python tools_bench_matrix.py
+
+# 8. compiled-path fuzz artifact
+run fuzz 6000 python -m pfac_tpu.tools.device_fuzz --cases 25 --sharded
+cp "$L/fuzz.log" FUZZ_r04.log 2>/dev/null || true
+
+# 9. shard_map efficiency
+run bench_scaling 2400 python -m pfac_tpu.tools.bench_scaling --mb 64
+
+echo "QUEUE DONE $(date -u)" | tee -a "$L/queue.log"
