@@ -452,3 +452,48 @@ class TestDenseBlockEscape:
         d[:8192] = ord("z")                  # block 0 all-survivor
         exp = golden.match_dense_batch(a, bytes(d))
         assert np.array_equal(m.match(bytes(d)), exp)
+
+
+class TestKernelVariants:
+    """The A/B-able kernel structures (experiments/kernel_ab2.py) must all
+    be bit-exact: select-tree vs linear plane merge, split vs fused
+    loops, unroll widths."""
+
+    @pytest.mark.parametrize("tree,split,unroll", [
+        (False, True, 8), (True, True, 4), (True, False, 8),
+    ])
+    def test_variants_exact(self, tree, split, unroll):
+        import jax.numpy as jnp
+        import pfac_tpu.backends.pallas_sieve as S
+
+        rng = np.random.default_rng(11)
+        pats = [bytes(rng.integers(0, 256, size=int(l), dtype=np.uint8))
+                for l in list(rng.integers(1, 4, size=8))
+                + list(rng.integers(4, 14, size=40))]
+        pats = list(dict.fromkeys(pats))
+        a = Automaton.from_patterns(pats)
+        t = SieveTables.build(a)
+        wt = S.build_walk_tables_gated(a, t)
+        n = 4096
+        data = rng.integers(0, 256, size=n, dtype=np.uint8)
+        for i in range(0, n - 16, 53):
+            p = pats[int(rng.integers(0, len(pats)))]
+            data[i:i + len(p)] = np.frombuffer(p, np.uint8)
+        exp = golden.match_dense_batch(a, bytes(data))
+        npad = S.npad_for(n, 64)
+        datap = np.pad(data, (0, npad - n))
+        args = ([jnp.asarray(x) for x in t.arrays]
+                + [jnp.asarray(x) for x in wt.arrays])
+        old = S.LOOKUP_TREE_MIN
+        try:
+            S.LOOKUP_TREE_MIN = 4 if tree else (1 << 30)
+            fn = S.build_pipeline(
+                a, t, npad=npad, cap=1024, interpret=True, aligned=True,
+                tile_rows=64, walk_tables=wt, unroll=unroll,
+                split_loops=split)
+            out, _, _ = fn(args, jnp.zeros(1, jnp.int32),
+                           jnp.asarray(datap),
+                           jnp.full((1,), n, jnp.int32))
+            assert np.array_equal(np.asarray(out)[:n], exp)
+        finally:
+            S.LOOKUP_TREE_MIN = old
