@@ -59,13 +59,17 @@ def main():
     dev = jax.devices()[0]
     a = Automaton.from_patterns(snort_like_patterns())
     t = S.SieveTables.build(a)
+    # walk tables ride along so the kernel carries the dense-block escape
+    # exactly as production does (its not-taken cost is part of kernel_ms)
+    wt = S.build_walk_tables_gated(a, t)
     rng = np.random.default_rng(0)
     n = CORPUS_MB << 20
     data_dev = jax.device_put(rng.integers(0, 256, size=n, dtype=np.uint8),
                               dev)
     n_arr = jnp.full((1,), n, jnp.int32)
     npad = S.npad_for(n)
-    args_dev = [jax.device_put(x, dev) for x in t.arrays]
+    args_dev = ([jax.device_put(x, dev) for x in t.arrays]
+                + [jax.device_put(np.asarray(x), dev) for x in wt.arrays])
     dense = jax.device_put(np.zeros(1, np.int32), dev)
 
     ref_out = None
@@ -79,7 +83,7 @@ def main():
         try:
             pipe = jax.jit(S.build_pipeline(
                 a, t, npad=npad, cap=4096, kernel_only=True, aligned=True,
-                unroll=unroll, split_loops=split))
+                unroll=unroll, split_loops=split, walk_tables=wt))
             ms = timeit(pipe, (args_dev, dense, data_dev, n_arr)) * 1e3
             out, bits = pipe(args_dev, dense, data_dev, n_arr)
             fp = int(np.asarray(jnp.sum(out.astype(jnp.uint32)
