@@ -43,8 +43,16 @@ class Automaton:
     # ---------------------------------------------------------------- build
     @classmethod
     def from_parsed(
-        cls, parsed: ParsedPatterns, *, dense: bool = True, hashed: bool = False
+        cls, parsed: ParsedPatterns, *, dense: bool = False,
+        hashed: bool = False
     ) -> "Automaton":
+        """Compile patterns. Tables are LAZY by default — the reference
+        also binds only the active perf mode's encoding
+        (PFAC_bindTable, reference: PFAC/src/PFAC.cpp:321-342); eagerly
+        materializing the dense S x 257 matrix costs gigabytes for
+        100K-signature rulesets whose device path never reads it.
+        dense=True / hashed=True force materialization; consumers use
+        ensure_dense()/ensure_hash() otherwise."""
         if parsed.num_patterns == 0:
             raise PfacError(PfacStatus.INVALID_PARAMETER, "no patterns")
         trie = build_trie(parsed)

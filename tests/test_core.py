@@ -161,7 +161,8 @@ class TestDumpAndCheckpoint:
         assert "space-driven" in rep2 and "hashRowPtr" in rep2
 
     def test_save_load_roundtrip(self, tmp_path):
-        a = Automaton.from_patterns([b"AB", b"ABG", b"BEDE", b"ED"], hashed=True)
+        a = Automaton.from_patterns([b"AB", b"ABG", b"BEDE", b"ED"],
+                                    dense=True, hashed=True)
         path = os.path.join(tmp_path, "automaton.npz")
         a.save(path)
         b = Automaton.load(path)
