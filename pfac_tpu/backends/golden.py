@@ -121,6 +121,46 @@ def match_dense_batch(automaton: Automaton, data,
     return result
 
 
+def match_edges_batch(automaton: Automaton, data,
+                      chunk: int = 1 << 22) -> np.ndarray:
+    """Vectorized oracle over the sorted EDGE LIST (binary search per
+    transition): O(edges) memory instead of the dense S x 257 matrix.
+    For 100K-signature rulesets (6M states) the dense oracle's table is
+    ~6 GB; this one is ~240 MB of int64 keys. Bit-identical to
+    match_dense / match_dense_batch (asserted in tests)."""
+    inp = _as_u8(data)
+    n = inp.shape[0]
+    a = automaton
+    if a.trie is None:
+        raise ValueError("edge oracle needs the compiled trie")
+    edges = a.trie.edges_array()              # (E, 3) int32: s, ch, next
+    keys = edges[:, 0].astype(np.int64) * 256 + edges[:, 1]
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    nxt = edges[order, 2].astype(np.int64)
+    k = a.num_final_states
+    result = np.zeros(n, dtype=np.int32)
+    ext = np.full(n + a.max_pattern_len + 1, 256, dtype=np.int64)
+    ext[:n] = inp
+    for c0 in range(0, n, chunk):
+        c1 = min(n, c0 + chunk)
+        idx = np.arange(c0, c1, dtype=np.int64)
+        state = np.full(c1 - c0, a.initial_state, dtype=np.int64)
+        d = 0
+        while idx.size and d < a.max_pattern_len:
+            q = state * 256 + ext[idx + d]
+            p = np.searchsorted(keys, q)
+            p = np.minimum(p, keys.shape[0] - 1)
+            hit = keys[p] == q
+            state = np.where(hit, nxt[p], 0)
+            fin = (state > 0) & (state <= k)
+            result[idx[fin]] = state[fin]
+            alive = state > 0
+            idx, state = idx[alive], state[alive]
+            d += 1
+    return result
+
+
 def match(automaton: Automaton, data, perf_mode: str = "dense") -> np.ndarray:
     if perf_mode == "dense":
         return match_dense(automaton, data)

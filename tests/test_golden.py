@@ -69,3 +69,25 @@ class TestGoldenProperties:
         assert n == 5
         assert pos.tolist() == [0, 1, 2, 4, 6]
         assert ids.tolist() == [1, 3, 4, 4, 2]
+
+
+def test_edges_oracle_matches_dense_oracle():
+    """match_edges_batch (O(edges) memory, for big automata) must be
+    bit-identical to the dense-table oracle."""
+    import numpy as np
+    from pfac_tpu import Automaton
+    from pfac_tpu.backends import golden
+
+    rng = np.random.default_rng(5)
+    pats = [bytes(rng.integers(0, 256, size=int(l), dtype=np.uint8))
+            for l in list(rng.integers(1, 4, size=10))
+            + list(rng.integers(4, 30, size=120))]
+    pats = list(dict.fromkeys(pats))
+    a = Automaton.from_patterns(pats)
+    n = 40000
+    d = rng.integers(0, 256, size=n, dtype=np.uint8)
+    for i in range(0, n - 40, 89):
+        p = pats[int(rng.integers(0, len(pats)))]
+        d[i:i + len(p)] = np.frombuffer(p, np.uint8)
+    assert np.array_equal(golden.match_edges_batch(a, bytes(d)),
+                          golden.match_dense_batch(a, bytes(d)))
