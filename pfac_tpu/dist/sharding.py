@@ -367,13 +367,29 @@ class ShardedMatcher:
                 tile=self.tile, engine="xla",
             )
         fb = self._xla_fb
+        my_len = self._shard_len(n)
+        if my_len % fb.tile == 0:
+            # same shard length: the already-sharded device buffer feeds
+            # the fallback engine directly — no host round trip. (The
+            # sieve shard length is a tile_rows*128 multiple, which the
+            # default XLA tile divides.)
+            key = ("fb", my_len, n)
+            fn = self._sharded_fns.get(key)
+            if fn is None:
+                fn = fb._build_fn(my_len, n)
+                self._sharded_fns[key] = fn
+
+            def run_direct(data_dev):
+                return fn(fb._tables, fb._pair_state, fb._pair_match,
+                          data_dev)
+
+            return run_direct
         fn, _ = fb._fn_for(n)
         shard_len = fb._shard_len(n)
-        my_len = self._shard_len(n)
 
         def run(data_dev):
-            # reshard: shard lengths differ between engines, so round-trip
-            # through host layout (pathological path only; clarity > speed)
+            # shard lengths differ (non-default tile geometry): round-trip
+            # through host layout (pathological path only)
             arr = np.asarray(data_dev).reshape(-1)[: my_len * self.num_devices]
             return fn(fb._tables, fb._pair_state, fb._pair_match,
                       fb._put(arr[:n] if n <= arr.shape[0] else arr, shard_len))

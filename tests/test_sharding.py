@@ -223,3 +223,29 @@ class TestShardedDenseEscape:
         exp = golden.match_dense_batch(a, bytes(d))
         assert np.array_equal(sm.match(bytes(d)), exp)
         assert sm.match_count(bytes(d)) == int((exp > 0).sum())
+
+
+def test_xla_fallback_direct_reshard(mesh8):
+    """The overflow fallback must consume the sieve-sharded device buffer
+    directly (same shard length — no host round trip) and stay exact."""
+    import numpy as np
+    from pfac_tpu import Automaton
+    from pfac_tpu.backends import golden
+    from pfac_tpu.dist.sharding import ShardedMatcher
+
+    rng = np.random.default_rng(4)
+    pats = [b"abcd", b"abcdefgh", b"xy"]
+    a = Automaton.from_patterns(pats)
+    sm = ShardedMatcher(a, mesh=mesh8, engine="sieve", interpret=True)
+    n = 8 * 8192 + 100
+    d = rng.integers(0, 256, size=n, dtype=np.uint8)
+    for i in range(0, n - 16, 97):
+        d[i:i + 4] = np.frombuffer(b"abcd", np.uint8)
+    shard_len = sm._shard_len(n)
+    data_dev = sm._put(d, shard_len)
+    run = sm._xla_fallback_fn(n)
+    matches, count = run(data_dev)
+    exp = golden.match_dense_batch(a, bytes(d))
+    got = np.asarray(matches)[:n]
+    assert np.array_equal(got, exp)
+    assert int(count) == int((exp > 0).sum())
