@@ -364,6 +364,32 @@ def _lane_prefix(x2d: jax.Array) -> jax.Array:
                    preferred_element_type=jnp.float32)
 
 
+_PREFIX_1D_LEAF = 1 << 14
+
+
+def _prefix_1d(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of a 1-D int32 vector, hierarchically:
+    per-128-lane MXU prefixes (one linear pass) + a recursive prefix over
+    the row totals. jnp.cumsum on a corpus-sized 1-D array lowers to
+    XLA's reduce-window ladder on TPU — O(n log n) HBM passes, tens of ms
+    at 64M elements; this form is two linear passes.
+
+    Exactness: the in-row prefix rides f32 (exact while every 128-lane
+    row SUM < 2^24) — callers pass small per-element values (match flags,
+    row counts). Cross-row offsets are int32."""
+    n = x.shape[0]
+    if n <= _PREFIX_1D_LEAF:
+        return jnp.cumsum(x)
+    nr = -(-n // LANES)
+    if nr * LANES != n:
+        x = jnp.concatenate([x, jnp.zeros(nr * LANES - n, x.dtype)])
+    x2 = x.reshape(nr, LANES)
+    p = _lane_prefix(x2).astype(jnp.int32)          # inclusive, per row
+    tot = p[:, LANES - 1]
+    off = _prefix_1d(tot) - tot                     # exclusive row offsets
+    return (p + off[:, None]).reshape(-1)[:n]
+
+
 def _rank_rows(bcum: jax.Array, q: jax.Array):
     """searchsorted(bcum, q) + the preceding cumulative value, built from
     row gathers and compare-sums only. The naive per-rank binary search
@@ -410,14 +436,16 @@ def _reduce_scatter_max(match_padded: jax.Array):
     indices_are_sorted=True and lowers to a linear output pass instead of
     per-index traffic. Non-match positions scatter 0, which loses the max
     against any real id (>= 1) / position+1 (>= 1). Leading non-matches
-    get dest = -1, dropped as out-of-bounds. One cumsum + two scatters:
-    O(n) streaming traffic, no per-rank 128-wide row gathers (the
-    _reduce_rowgather amplification). Same contract: (ids, pos, count),
-    entries past count are zero/undefined."""
+    get dest = -1, dropped as out-of-bounds. One hierarchical prefix
+    (_prefix_1d — NOT jnp.cumsum, whose reduce-window lowering makes
+    O(n log n) HBM passes at corpus size) + two scatters: O(n) streaming
+    traffic, no per-rank 128-wide row gathers (the _reduce_rowgather
+    amplification). Same contract: (ids, pos, count), entries past count
+    are zero/undefined."""
     m = match_padded.astype(jnp.int32)
     n = m.shape[0]
     flags = m > 0
-    csum = jnp.cumsum(flags.astype(jnp.int32))
+    csum = _prefix_1d(flags.astype(jnp.int32))
     count = csum[-1]
     dest = csum - 1                       # non-decreasing; -1 before first
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -497,7 +525,7 @@ def _reduce_rowgather(match_padded: jax.Array, *, cap: int = 1 << 16):
         # scales with count, so past ~1/8 density the one-shot (slow but
         # flat-cost) cumsum+scatter wins
         flags = match_padded > 0
-        idx = jnp.cumsum(flags) - 1
+        idx = _prefix_1d(flags.astype(jnp.int32)) - 1
         scatter_to = jnp.where(flags, idx, n128)
         pos = jnp.zeros(n128, dtype=jnp.int32).at[scatter_to].set(
             jnp.arange(n128, dtype=jnp.int32), mode="drop")

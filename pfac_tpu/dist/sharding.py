@@ -42,6 +42,7 @@ from ..backends.xla import (
     hash_step_fn,
     pair_tables,
     walk_tiles,
+    _prefix_1d,
     _to_u8,
 )
 
@@ -60,7 +61,7 @@ def _compact_capped(m: jax.Array, cap: int):
     passes; matches past cap fall out of bounds and drop — the cap is
     enforced by the output shape, no rank search needed."""
     flags = m > 0
-    csum = jnp.cumsum(flags.astype(jnp.int32))
+    csum = _prefix_1d(flags.astype(jnp.int32))
     count = csum[-1]
     dest = csum - 1                      # non-decreasing; -1 before first
     iota = jnp.arange(m.shape[0], dtype=jnp.int32)
