@@ -140,11 +140,48 @@ def main():
             return res
         return f
 
+    def mk_buffered():
+        # the PRODUCTION heavy-round form: rounds buffer (pos, val) and
+        # ONE sorted full-output scatter lands them all — attributes the
+        # deferred-scatter cost the per-round form above hides
+        @jax.jit
+        def f(bits, bcum, data2d, res):
+            bb = ROUNDS * CAP
+            bpos = npad + bb + jnp.arange(bb, dtype=jnp.int32)
+            bval = jnp.zeros(bb, jnp.int32)
+            for i in range(ROUNDS):
+                pos, _ = S._compact(bits, CAP, npad, rank_offset=i * CAP,
+                                    bcum=bcum)
+                merged = walkfn(list(m123) + list(wargs), data2d, pos, n_arr)
+                bpos = jax.lax.dynamic_update_slice(bpos, pos, (i * CAP,))
+                bval = jax.lax.dynamic_update_slice(bval, merged, (i * CAP,))
+            return res.at[bpos].set(bval, mode="drop",
+                                    indices_are_sorted=True,
+                                    unique_indices=True)
+        return f
+
+    def mk_oneshot_scatter():
+        # the one-shot sorted scatter ALONE: ROUNDS*CAP sorted-unique
+        # pairs into the corpus-sized dense result. Sorted+unique lowers
+        # to a full-output pass — if this reads ~res-size*2 of HBM it is
+        # the DEFCON regime's missing ~6 ms (VERDICT r4 hunt)
+        @jax.jit
+        def f(bpos, bval, res):
+            return res.at[bpos].set(bval, mode="drop",
+                                    indices_are_sorted=True,
+                                    unique_indices=True)
+        return f
+
     res0 = jnp.zeros(npad, jnp.int32)
+    bb = ROUNDS * CAP
+    bpos_s = jnp.sort(jnp.asarray(
+        rng.choice(npad, size=bb, replace=False).astype(np.int32)))
+    bval_s = jnp.ones(bb, jnp.int32)
     steps = [("compact", mk_compact(), (bits, bcum)),
              ("(+)windows", mk_windows(), (bits, bcum, data2d)),
              ("(+)walk", mk_walk(), (bits, bcum, data2d)),
-             ("(+)scatter", mk_scatter(), (bits, bcum, data2d, res0))]
+             ("(+)scatter", mk_scatter(), (bits, bcum, data2d, res0)),
+             ("(+)buffered", mk_buffered(), (bits, bcum, data2d, res0))]
     prev = 0.0
     for name, fn, args in steps:
         print(f"compiling {name}...", flush=True)
@@ -152,6 +189,9 @@ def main():
         print(f"{name:12s}: {t*1e3:8.2f} ms total, "
               f"{(t-prev)*1e3/ROUNDS:6.2f} ms/round marginal", flush=True)
         prev = t
+    t = amortized(mk_oneshot_scatter(), (bpos_s, bval_s, res0))
+    print(f"oneshot sorted scatter ({bb} pairs -> {npad} dense): "
+          f"{t*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
