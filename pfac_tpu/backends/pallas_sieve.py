@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import chd
 from ..core.automaton import Automaton
 from ..status import PfacError, PfacStatus
-from .xla import _rank_rows, _to_u8
+from .xla import _prefix_1d, _rank_rows, _to_u8
 
 LANES = 128
 TILE_ROWS = 512                # positions per grid step = TILE_ROWS * 128
@@ -658,7 +658,7 @@ def _compact(bits: jax.Array, cap: int, npad: int, rank_offset=0,
     depth-1..3 match through the merge."""
     if bcum is None:
         counts = jax.lax.population_count(bits).sum(axis=1)    # (nb,)
-        bcum = jnp.cumsum(counts)
+        bcum = _prefix_1d(counts)
     count = bcum[-1]
     q = jnp.arange(1, cap + 1, dtype=jnp.int32) + rank_offset
     blk, prev = _rank_rows(bcum, q)
@@ -941,7 +941,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
         win_src = (data2d, tail2d) if tail_split else data2d
         if not has_alive:
             return matches, jnp.int32(0), jnp.int32(0)
-        bcum = jnp.cumsum(jax.lax.population_count(bits).sum(axis=1))
+        bcum = _prefix_1d(jax.lax.population_count(bits).sum(axis=1))
         count = bcum[-1].astype(jnp.int32)
 
         if wt is not None:

@@ -480,7 +480,7 @@ def _reduce_rowgather(match_padded: jax.Array, *, cap: int = 1 << 16):
     m2d = match_padded.reshape(nrows, 128)
     flags = (m2d > 0).astype(jnp.int32)
     counts = flags.sum(axis=1)                       # (nrows,)
-    bcum = jnp.cumsum(counts)
+    bcum = _prefix_1d(counts)
     count = bcum[-1]
 
     # slack so the final chunk's fixed-width write never clamps backwards

@@ -240,7 +240,10 @@ class ShardedMatcher:
 
         def local_match(tables, dense_flat, data_local):
             result, ovf = run_local(tables, dense_flat, data_local)
-            owned = jax.lax.dynamic_slice(result, (0,), (shard_len,))
+            # static slice: the owned range always starts at 0, so the
+            # dynamic_slice form only cost XLA the chance to fold the
+            # slice into the producing scatter's layout
+            owned = result[:shard_len]
             return owned, ovf.reshape(1)
 
         fn = jax.shard_map(
