@@ -30,8 +30,12 @@ run reduce_micro 2400 python experiments/reduce_micro.py
 # 4. windows layout A/B
 run windows_profile 2400 python experiments/windows_profile.py
 
-# 5. walker round stage split
+# 5. walker round stage split (incl. the production buffered form and
+#    the one-shot sorted scatter alone)
 run round_profile 2400 python experiments/round_profile.py
+
+# 5b. scatter lowering crossover -> PER_IDX_ROUNDS / PER_IDX_NPAD_MIN
+run scatter_micro 1800 python experiments/scatter_micro.py
 
 # 6. dense-block escape threshold sweep
 run allmatch_escape 3600 python experiments/allmatch_escape.py

@@ -85,7 +85,6 @@ def main():
 
     data2d = dd.reshape(npad // 128, 128)
     w_out, w_raw = window_geometry(wt.max_len)
-    n123 = S.pallas_walk = None
     from pfac_tpu.backends.pallas_walk import _n_m123_refs
     m123 = targs[:_n_m123_refs(tables)]
     walkfn = build_walker(wt, cap=CAP, sieve_tables=tables)
@@ -192,6 +191,41 @@ def main():
     t = amortized(mk_oneshot_scatter(), (bpos_s, bval_s, res0))
     print(f"oneshot sorted scatter ({bb} pairs -> {npad} dense): "
           f"{t*1e3:8.2f} ms", flush=True)
+
+    # HEAVY_CAP re-sweep under the round-4 structure: the 64K optimum
+    # was measured with per-round sorted scatters (round 2); with
+    # buffered/per-index scatters, larger rounds amortize the fixed
+    # rank-search + dispatch cost over more survivors (virus-dense needs
+    # ~15 ns/survivor to reach the reference's 1.12 GB/s)
+    def mk_buffered_cap(cap_r, rounds_r):
+        wfn = build_walker(wt, cap=cap_r, interpret=False,
+                           sieve_tables=tables)
+
+        @jax.jit
+        def f(bits, bcum, data2d, res):
+            bb2 = rounds_r * cap_r
+            bpos = npad + bb2 + jnp.arange(bb2, dtype=jnp.int32)
+            bval = jnp.zeros(bb2, jnp.int32)
+            for i in range(rounds_r):
+                pos, _ = S._compact(bits, cap_r, npad,
+                                    rank_offset=i * cap_r, bcum=bcum)
+                merged = wfn(list(m123) + list(wargs), data2d, pos, n_arr)
+                bpos = jax.lax.dynamic_update_slice(bpos, pos, (i * cap_r,))
+                bval = jax.lax.dynamic_update_slice(bval, merged,
+                                                    (i * cap_r,))
+            return res.at[bpos].set(bval, mode="drop",
+                                    indices_are_sorted=True,
+                                    unique_indices=True)
+        return f
+
+    total = ROUNDS * CAP                       # same survivor coverage
+    for cap_r in (1 << 15, 1 << 16, 1 << 17, 1 << 18):
+        rounds_r = max(1, total // cap_r)
+        fn = mk_buffered_cap(cap_r, rounds_r)
+        t = amortized(fn, (bits, bcum, data2d, res0))
+        print(f"cap={cap_r:7d} x {rounds_r} rounds ({total} survivors): "
+              f"{t*1e3:8.2f} ms total, {t*1e9/total:6.1f} ns/survivor",
+              flush=True)
 
 
 if __name__ == "__main__":

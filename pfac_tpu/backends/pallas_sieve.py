@@ -751,6 +751,14 @@ def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
 # --------------------------------------------------------------------------
 
 HEAVY_CAP = 1 << 16     # survivor ranks per heavy round
+PER_IDX_ROUNDS = 4      # leading heavy rounds that scatter per-index
+                        # in-loop on large corpora (tier A): per-index
+                        # cost is hc-shaped (~8 ns/index), the sorted
+                        # alternative is an npad-shaped full-output pass
+PER_IDX_NPAD_MIN = 23 << 20   # positions above which one full-output
+                        # pass (~npad*8B / ~170 GB/s) costs more than two
+                        # per-index rounds — scatter_micro.py capture
+                        # pending (MEASUREMENTS.md)
 R_BUF_ROUNDS = 16       # heavy rounds whose (pos, val) pairs are buffered
                         # for the single deferred scatter (1M survivors,
                         # 8 MB of buffers); rounds past that — only
@@ -989,25 +997,51 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             hc = min(-(-HEAVY_CAP // GROUP) * GROUP, npad)
             heavy_walkfn = get_walkfn(hc)
 
-            # Heavy rounds BUFFER their (pos, merged) pairs and scatter
-            # ONCE after the loop: a sorted scatter into the dense result
-            # is a full-output pass (~5.9 ms/round in-loop on a 512 MB
-            # result, index-count-insensitive), so per-round scatters made
-            # round count the dominant cost on match-dense corpora. The
-            # buffer stays globally sorted-unique: ranks ascend with
-            # position, _compact pads ascend from npad with global rank,
-            # and unwritten buffer slots are initialized past both.
+            # Tier A: on large corpora the first PER_IDX_ROUNDS heavy
+            # rounds scatter PER-INDEX inside the loop. A sorted scatter
+            # is a full-output pass (npad-shaped: ~5.9 ms on a 512 MB
+            # result) while per-index cost is hc-shaped (~0.5 ms/round at
+            # 64K incl. dropped padding), so the rounds that cover every
+            # realistic match-bearing density (DEFCON ~2) never pay the
+            # full pass. Zero iterations — zero cost — when the light
+            # round covered everything. The gate is STATIC on npad: below
+            # the crossover one full pass is cheaper than one per-index
+            # round, so small corpora keep the pure buffered form.
+            pir = PER_IDX_ROUNDS if npad >= PER_IDX_NPAD_MIN else 0
+            if pir:
+                def cond_a(s):
+                    i, _ = s
+                    return (cl + i * hc < count) & (i < pir)
+
+                def body_a(s):
+                    i, res = s
+                    pos, merged = walker_round(heavy_walkfn, hc,
+                                               cl + i * hc)
+                    return i + 1, res.at[pos].set(merged, mode="drop")
+
+                _, result = jax.lax.while_loop(
+                    cond_a, body_a, (jnp.int32(0), result))
+
+            # Tier B: rounds past tier A BUFFER their (pos, merged) pairs
+            # and scatter ONCE after the loop (the match-dense regime,
+            # where per-round full-output passes made round count the
+            # dominant cost). The buffer stays globally sorted-unique:
+            # ranks ascend with position, _compact pads ascend from npad
+            # with global rank (bounded by npad + cl + (pir+R)*hc), and
+            # unwritten buffer slots are initialized past both.
             bb = R_BUF_ROUNDS * hc
-            bpos0 = npad + bb + jnp.arange(bb, dtype=jnp.int32)
+            pad_base = npad + cl + (pir + R_BUF_ROUNDS + 1) * hc
+            bpos0 = pad_base + jnp.arange(bb, dtype=jnp.int32)
             bval0 = jnp.zeros(bb, jnp.int32)
 
             def cond(s):
                 i, _, _ = s
-                return (cl + i * hc < count) & (i < R_BUF_ROUNDS)
+                return (cl + (pir + i) * hc < count) & (i < R_BUF_ROUNDS)
 
             def body(s):
                 i, bp, bv = s
-                pos, merged = walker_round(heavy_walkfn, hc, cl + i * hc)
+                pos, merged = walker_round(heavy_walkfn, hc,
+                                           cl + (pir + i) * hc)
                 return (i + 1,
                         jax.lax.dynamic_update_slice(bp, pos, (i * hc,)),
                         jax.lax.dynamic_update_slice(bv, merged, (i * hc,)))
@@ -1016,7 +1050,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                 cond, body, (jnp.int32(0), bpos0, bval0))
 
             # one-shot scatter: zero iterations (hence zero cost) when no
-            # heavy round ran — the usual case for typical corpora
+            # tier-B round ran — the usual case for typical corpora
             def cond_s(s):
                 j, _ = s
                 return (j == 0) & (nr > 0)
@@ -1045,7 +1079,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                     unique_indices=True)
 
             _, result = jax.lax.while_loop(
-                cond_t, body_t, (nr, result))
+                cond_t, body_t, (jnp.int32(pir) + nr, result))
             return result, count, jnp.int32(0)
         else:
             # ---- CSR row-gather walker (backends.xla_csr): big/wide
@@ -1077,27 +1111,49 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                 # instead would interleave out-of-range values)
                 return pos, jnp.where(merged > 0, merged, kvals), o
 
-            # same deferred-scatter round structure as the walker branch
-            # above: buffer (pos, val) per round, one sorted scatter in a
-            # zero-or-one-iteration loop, direct-scatter overflow tail
+            # same tiered round structure as the walker branch above:
+            # per-index in-loop scatters for the first rounds on large
+            # corpora (tier A), then buffered rounds + one sorted scatter,
+            # then the direct-scatter overflow tail. Tier A reads kvals
+            # from the ORIGINAL kernel output (out2d) — rank ranges are
+            # disjoint, so earlier tier-A writes never cover a later
+            # round's positions.
+            pir = PER_IDX_ROUNDS if npad >= PER_IDX_NPAD_MIN else 0
+            result = matches
+            overflow0 = jnp.int32(0)
+            if pir:
+                def cond_a(s):
+                    i, _, _ = s
+                    return (i * hc < count) & (i < pir)
+
+                def body_a(s):
+                    i, res, ovf = s
+                    pos, val, o = csr_round(i)
+                    return (i + 1, res.at[pos].set(val, mode="drop"),
+                            ovf | o)
+
+                _, result, overflow0 = jax.lax.while_loop(
+                    cond_a, body_a, (jnp.int32(0), result, overflow0))
+
             bb = R_BUF_ROUNDS * hc
-            bpos0 = npad + bb + jnp.arange(bb, dtype=jnp.int32)
+            pad_base = npad + (pir + R_BUF_ROUNDS + 1) * hc
+            bpos0 = pad_base + jnp.arange(bb, dtype=jnp.int32)
             bval0 = jnp.zeros(bb, jnp.int32)
 
             def cond(s):
                 i, _, _, _ = s
-                return (i * hc < count) & (i < R_BUF_ROUNDS)
+                return ((pir + i) * hc < count) & (i < R_BUF_ROUNDS)
 
             def body(s):
                 i, bp, bv, ovf = s
-                pos, val, o = csr_round(i)
+                pos, val, o = csr_round(pir + i)
                 return (i + 1,
                         jax.lax.dynamic_update_slice(bp, pos, (i * hc,)),
                         jax.lax.dynamic_update_slice(bv, val, (i * hc,)),
                         ovf | o)
 
             nr, bpos, bval, overflow = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), bpos0, bval0, jnp.int32(0)))
+                cond, body, (jnp.int32(0), bpos0, bval0, overflow0))
 
             def cond_s(s):
                 j, _ = s
@@ -1110,7 +1166,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                     unique_indices=True)
 
             _, result = jax.lax.while_loop(
-                cond_s, body_s, (jnp.int32(0), matches))
+                cond_s, body_s, (jnp.int32(0), result))
 
             def cond_t(s):
                 i, _, _ = s
@@ -1124,7 +1180,7 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                     unique_indices=True), ovf | o
 
             _, result, overflow = jax.lax.while_loop(
-                cond_t, body_t, (nr, result, overflow))
+                cond_t, body_t, (jnp.int32(pir) + nr, result, overflow))
             return result, count, overflow
 
     return run

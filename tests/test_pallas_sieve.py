@@ -303,6 +303,44 @@ class TestHeavyRegime:
         got = m.match(data)
         assert np.array_equal(got, expected)
 
+    def test_per_index_tier_spans_all_tiers(self, monkeypatch):
+        # tier A (per-index in-loop scatters) plus tier B (buffered) plus
+        # the direct tail, all in one dispatch: survivors span
+        # light + PER_IDX_ROUNDS + R_BUF_ROUNDS rounds and beyond.
+        # PER_IDX_NPAD_MIN is forced to 0 — real corpora only enable
+        # tier A above the full-output-pass crossover.
+        import pfac_tpu.backends.pallas_sieve as S
+
+        monkeypatch.setattr(S, "HEAVY_CAP", 1024)
+        monkeypatch.setattr(S, "R_BUF_ROUNDS", 2)
+        monkeypatch.setattr(S, "PER_IDX_ROUNDS", 2)
+        monkeypatch.setattr(S, "PER_IDX_NPAD_MIN", 0)
+        pats = [b"aaaa", b"aaaaaaaaaa", b"bbbbb"]
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        m._cap = 512
+        data = (b"aaaa" * 2500) + b"bbbbb" * 20      # ~10K survivors
+        expected = golden.match_dense(a, data)
+        got = m.match(data)
+        assert np.array_equal(got, expected)
+
+    def test_per_index_tier_only(self, monkeypatch):
+        # survivors that fit entirely inside tier A: the buffered loop
+        # and tail run zero iterations
+        import pfac_tpu.backends.pallas_sieve as S
+
+        monkeypatch.setattr(S, "HEAVY_CAP", 1024)
+        monkeypatch.setattr(S, "PER_IDX_ROUNDS", 4)
+        monkeypatch.setattr(S, "PER_IDX_NPAD_MIN", 0)
+        pats = [b"xyzw", b"xyzwxyzw"]
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        m._cap = 512
+        data = b"xyzw" * 700 + b"-" * 100            # ~2.8K survivors
+        expected = golden.match_dense(a, data)
+        got = m.match(data)
+        assert np.array_equal(got, expected)
+
     def test_heavy_rounds_past_buffer(self, monkeypatch):
         # survivors past R_BUF_ROUNDS * HEAVY_CAP: the deferred-scatter
         # buffer fills and the direct-scatter tail loop finishes the rest

@@ -158,3 +158,17 @@ class TestCsrPipeline:
         assert m.match(data).tolist() == \
             golden.match_dense(a, data).tolist()
         m.flush_checks()
+
+    def test_per_index_tier_csr(self, monkeypatch):
+        # tier A (per-index in-loop scatters) on the CSR branch, spanning
+        # into the buffered tier and the direct tail
+        import pfac_tpu.backends.pallas_sieve as S
+        monkeypatch.setattr(S, "HEAVY_CAP", 1024)
+        monkeypatch.setattr(S, "R_BUF_ROUNDS", 2)
+        monkeypatch.setattr(S, "PER_IDX_ROUNDS", 2)
+        monkeypatch.setattr(S, "PER_IDX_NPAD_MIN", 0)
+        a, m = _csr_matcher([b"aaaa", b"aaaaaaaa"], monkeypatch)
+        data = b"a" * 9000      # spans 2 per-index + 2 buffered + tail
+        assert m.match(data).tolist() == \
+            golden.match_dense(a, data).tolist()
+        m.flush_checks()
