@@ -1031,6 +1031,13 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             # unwritten buffer slots are initialized past both.
             bb = R_BUF_ROUNDS * hc
             pad_base = npad + cl + (pir + R_BUF_ROUNDS + 1) * hc
+            if pad_base + bb >= (1 << 31):    # all python ints at trace time
+                raise PfacError(
+                    PfacStatus.INVALID_PARAMETER,
+                    "deferred-scatter buffer init exceeds int32: lower "
+                    "HEAVY_CAP/R_BUF_ROUNDS/PER_IDX_ROUNDS or shard the "
+                    "input",
+                )
             bpos0 = pad_base + jnp.arange(bb, dtype=jnp.int32)
             bval0 = jnp.zeros(bb, jnp.int32)
 
@@ -1137,6 +1144,13 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
 
             bb = R_BUF_ROUNDS * hc
             pad_base = npad + (pir + R_BUF_ROUNDS + 1) * hc
+            if pad_base + bb >= (1 << 31):    # all python ints at trace time
+                raise PfacError(
+                    PfacStatus.INVALID_PARAMETER,
+                    "deferred-scatter buffer init exceeds int32: lower "
+                    "HEAVY_CAP/R_BUF_ROUNDS/PER_IDX_ROUNDS or shard the "
+                    "input",
+                )
             bpos0 = pad_base + jnp.arange(bb, dtype=jnp.int32)
             bval0 = jnp.zeros(bb, jnp.int32)
 
@@ -1284,8 +1298,10 @@ class SieveMatcher:
             n = int(data_u8.shape[0])
         # margin covers npad rounding + _compact's distinct out-of-range
         # padding AND the deferred-scatter buffer init (bpos0 reaches
-        # npad + 2*R_BUF_ROUNDS*HEAVY_CAP - 1 ~ npad + 2^21; wrap would
-        # break the one-shot scatter's sorted-unique claim)
+        # npad + cl + (PER_IDX_ROUNDS + 2*R_BUF_ROUNDS + 1)*HEAVY_CAP - 1
+        # ~ npad + 2.4M at defaults; wrap would break the one-shot
+        # scatter's sorted-unique claim — build_pipeline re-asserts the
+        # exact bound, so constant bumps can't silently outgrow this)
         if n > (1 << 31) - (1 << 22):
             raise PfacError(
                 PfacStatus.INVALID_PARAMETER,

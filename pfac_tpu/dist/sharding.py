@@ -191,7 +191,8 @@ class ShardedMatcher:
         npad = (shard_len + block if use_split
                 else sieve.npad_for(shard_len + halo, self.tile_rows))
         # same int32 position-range bound as SieveMatcher._dispatch: the
-        # deferred-scatter buffer init reaches npad + ~2^21
+        # deferred-scatter buffer init reaches npad + ~2.4M at default
+        # constants (build_pipeline asserts the exact bound)
         if npad > (1 << 31) - (1 << 22):
             raise PfacError(
                 PfacStatus.INVALID_PARAMETER,
