@@ -37,6 +37,10 @@ run round_profile 2400 python experiments/round_profile.py
 # 5b. scatter lowering crossover -> PER_IDX_ROUNDS / PER_IDX_NPAD_MIN
 run scatter_micro 1800 python experiments/scatter_micro.py
 
+# 5c. walker window-alignment strategy (32-way select vs tree vs
+#     sublane gather) — the align is a prime walker-kernel cost suspect
+run align_micro 2400 python experiments/align_micro.py
+
 # 6. dense-block escape threshold sweep
 run allmatch_escape 3600 python experiments/allmatch_escape.py
 
