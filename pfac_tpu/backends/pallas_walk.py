@@ -71,6 +71,14 @@ WINDOWS_U8_BITCAST = False  # prepare_windows: u8 transpose + LE bitcast
                             # vs i32 strided-select (A/B on chip —
                             # experiments/windows_profile.py)
 
+ALIGN_TREE = False          # window alignment as a select TREE over wv's
+                            # 5 bits (31 selects + 5 shared bit tests per
+                            # word) vs the linear scan (31 compares + 31
+                            # selects, 2 live rows). The tree holds all 32
+                            # candidate rows live at once — register-
+                            # pressure risk; A/B on chip
+                            # (experiments/align_micro.py)
+
 
 # --------------------------------------------------------------------------
 # host-side table construction
@@ -372,10 +380,21 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
 
         def ensure(w_hi):
             for w in range(aligned[0], min(w_hi, w_out)):
-                acc = raw_ref[w * 8:(w + 1) * 8, :]
-                for s in range(1, ROW_WORDS):
-                    cand = raw_ref[(w + s) * 8:(w + s + 1) * 8, :]
-                    acc = jnp.where(wv == s, cand, acc)
+                if ALIGN_TREE:
+                    rows = [raw_ref[(w + s) * 8:(w + s + 1) * 8, :]
+                            for s in range(ROW_WORDS)]
+                    bit = 1
+                    while len(rows) > 1:
+                        hi = (wv & bit) != 0
+                        rows = [jnp.where(hi, rows[k + 1], rows[k])
+                                for k in range(0, len(rows), 2)]
+                        bit <<= 1
+                    acc = rows[0]
+                else:
+                    acc = raw_ref[w * 8:(w + 1) * 8, :]
+                    for s in range(1, ROW_WORDS):
+                        cand = raw_ref[(w + s) * 8:(w + s + 1) * 8, :]
+                        acc = jnp.where(wv == s, cand, acc)
                 win[w * 8:(w + 1) * 8, :] = acc
             aligned[0] = max(aligned[0], min(w_hi, w_out))
 

@@ -185,3 +185,24 @@ class TestPrepareWindowsVariants:
             monkeypatch.setattr(W, "WINDOWS_U8_BITCAST", True)
             got = np.asarray(W.prepare_windows(src, pos, w_raw))
             assert np.array_equal(base, got)
+
+
+class TestAlignTreeVariant:
+    def test_align_tree_parity(self, monkeypatch):
+        # the select-tree window alignment must match the linear scan at
+        # every (wv, ob) alignment class, including row straddles
+        monkeypatch.setattr(W, "ALIGN_TREE", True)
+        pat = b"HELLOWORLD!!"
+        data = bytearray(400)
+        for off in (0, 1, 3, 60, 63, 64, 65, 127, 128, 200, 255, 256):
+            data[off:off + len(pat)] = pat
+        TestWalkKernel()._run([pat, b"HELL"], bytes(data))
+
+    def test_align_tree_random(self, monkeypatch):
+        monkeypatch.setattr(W, "ALIGN_TREE", True)
+        rng = np.random.default_rng(77)
+        alpha = rng.integers(0, 256, size=3).astype(np.uint8)
+        pats = [bytes(alpha[rng.integers(0, 3, size=int(rng.integers(4, 12)))])
+                for _ in range(8)]
+        data = bytes(alpha[rng.integers(0, 3, size=300)])
+        TestWalkKernel()._run(pats, data)
