@@ -227,6 +227,27 @@ def main():
               f"{t*1e3:8.2f} ms total, {t*1e9/total:6.1f} ns/survivor",
               flush=True)
 
+    # production-walker ALIGN_TREE A/B (the align strategy inside the
+    # real kernel, not just align_micro's standalone form)
+    import pfac_tpu.backends.pallas_walk as W
+    for flag in (False, True):
+        W.ALIGN_TREE = flag
+        wfn2 = build_walker(wt, cap=CAP, sieve_tables=tables)
+
+        @jax.jit
+        def fwalk(bits, bcum, data2d):
+            acc = jnp.int32(0)
+            for i in range(ROUNDS):
+                pos, _ = S._compact(bits, CAP, npad, rank_offset=i * CAP,
+                                    bcum=bcum)
+                merged = wfn2(list(m123) + list(wargs), data2d, pos, n_arr)
+                acc += jnp.sum(merged)
+            return acc
+        t = amortized(fwalk, (bits, bcum, data2d))
+        print(f"walk rounds ALIGN_TREE={flag}: {t*1e3:8.2f} ms "
+              f"({ROUNDS} rounds)", flush=True)
+    W.ALIGN_TREE = False
+
 
 if __name__ == "__main__":
     main()
