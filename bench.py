@@ -21,7 +21,6 @@ import time
 import numpy as np
 
 CORPUS_MB = 128
-N_ITERS = 5
 K_BATCH = 8
 BASELINE_GBPS = 208.53 / 8.0  # 26.07 GB/s
 
@@ -193,7 +192,7 @@ def main() -> None:
         "num_patterns": len(patterns),
         "num_states": automaton.num_states,
         "matches": n_matched,
-        "iters": N_ITERS,
+        "iters": len(estimates),
         "time_s": round(dt, 4),
         "estimates_ms": [round(e * 1e3, 2) for e in estimates],
         "spread": None if spread is None else round(spread, 4),

@@ -134,7 +134,13 @@ def match_edges_batch(automaton: Automaton, data,
     if a.trie is None:
         raise ValueError("edge oracle needs the compiled trie")
     edges = a.trie.edges_array()              # (E, 3) int32: s, ch, next
-    keys = edges[:, 0].astype(np.int64) * 256 + edges[:, 1]
+    # radix 257, NOT 256: the end-of-input sentinel byte is 256, and with
+    # radix 256 the probe key state*256 + 256 would alias
+    # (state+1)*256 + 0x00 — a real NUL edge of the next state — letting
+    # walks past the input end take false transitions (review repro:
+    # binary rulesets with 0x00 edges mismatched the dense oracle near
+    # the corpus tail)
+    keys = edges[:, 0].astype(np.int64) * 257 + edges[:, 1]
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
     nxt = edges[order, 2].astype(np.int64)
@@ -148,7 +154,7 @@ def match_edges_batch(automaton: Automaton, data,
         state = np.full(c1 - c0, a.initial_state, dtype=np.int64)
         d = 0
         while idx.size and d < a.max_pattern_len:
-            q = state * 256 + ext[idx + d]
+            q = state * 257 + ext[idx + d]
             p = np.searchsorted(keys, q)
             p = np.minimum(p, keys.shape[0] - 1)
             hit = keys[p] == q

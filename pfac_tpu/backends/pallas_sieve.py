@@ -283,12 +283,15 @@ class SieveTables:
 # kernel
 # --------------------------------------------------------------------------
 
-LOOKUP_TREE_MIN = 4   # plane count at/above which the merge is a select
-                      # TREE (log2(P) bit tests + P-1 selects) instead of
-                      # the linear scan (P-1 compares + P-1 selects); the
-                      # tree saves P-1-log2(P) ops but holds all P gathered
-                      # values live at once — A/B'd on chip
-                      # (experiments/kernel_ab2.py); 2^30 disables
+LOOKUP_TREE_MIN = 1 << 30   # plane count at/above which the merge is a
+                      # select TREE (log2(P) bit tests + P-1 selects)
+                      # instead of the linear scan (P-1 compares + P-1
+                      # selects). The tree saves P-1-log2(P) ops but holds
+                      # all P gathered values live at once — the exact
+                      # register-pressure shape that regressed UNROLL=8 in
+                      # round 2 — so it stays DISABLED (2^30) until
+                      # experiments/kernel_ab2.py captures a win on chip
+                      # (CLAUDE.md: tuned constants cite committed numbers)
 
 
 def _lookup(ref, w, interpret: bool = False):
@@ -833,8 +836,14 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
         split_loops = SPLIT_LOOPS
     # dense-block escape: armed for the walker tier on both layouts (the
     # sharded tail-split form stages its last real block's lookahead from
-    # the tail buffer and never escapes the tail block itself)
-    esc_wt = (walk_tables if (walk_tables is not None
+    # the tail buffer and never escapes the tail block itself). The
+    # in-kernel byte(j) lookahead reads at most HALO_ROWS*LANES bytes
+    # past a row-group, so the escape must not arm for deeper rulesets —
+    # today the VMEM walk-table budget keeps max_len far below this, but
+    # the gate must not rest on that unrelated constant (review finding).
+    esc_ok = (walk_tables is not None
+              and walk_tables.max_len + 4 <= HALO_ROWS * LANES)
+    esc_wt = (walk_tables if (esc_ok
                               and DENSE_ESCAPE_DIV > 0
                               and tables.alive is not None) else None)
     kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,

@@ -94,7 +94,8 @@ class Automaton:
         return cls.from_parsed(parse_pattern_bytes(data), **kw)
 
     @classmethod
-    def _from_native(cls, data: bytes, *, dense: bool = True, hashed: bool = False):
+    def _from_native(cls, data: bytes, *, dense: bool = False,
+                     hashed: bool = False):
         """Fast path through the C++ host compiler (core/native.py);
         returns None when the native library is unavailable."""
         from . import native
@@ -132,9 +133,11 @@ class Automaton:
         )
         if hashed:
             a.ensure_hash()
-        # dense stays lazy: the device paths build their table from the
-        # edge list directly; the host matrix is only materialized for the
-        # golden model / table dump.
+        if dense:
+            # honor an explicit request (parity with from_parsed); by
+            # default dense stays lazy — device paths build from the
+            # edge list, the host matrix serves the golden model / dump
+            a.ensure_dense()
         return a
 
     def ensure_dense(self) -> DenseTable:

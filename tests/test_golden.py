@@ -91,3 +91,21 @@ def test_edges_oracle_matches_dense_oracle():
         d[i:i + len(p)] = np.frombuffer(p, np.uint8)
     assert np.array_equal(golden.match_edges_batch(a, bytes(d)),
                           golden.match_dense_batch(a, bytes(d)))
+
+
+def test_edges_oracle_sentinel_no_alias():
+    """Regression (round-4 review): with radix-256 keys the end-of-input
+    sentinel byte (256) aliased the NEXT state's 0x00 edge
+    (state*256 + 256 == (state+1)*256 + 0), so walks past the input end
+    could take a real NUL transition. Radix-257 keys cannot alias."""
+    import numpy as np
+    from pfac_tpu import Automaton
+    from pfac_tpu.backends import golden
+
+    pats = [b"\x00", b"\x00\x02\x00\x00", b"\x01\x00\x00",
+            b"\x00\x01\x02\x02", b"\x00\x02\x01",
+            b"\x00\x02\x00\x00\x00", b"\x01"]
+    a = Automaton.from_patterns(pats)
+    data = bytes([0, 0, 2, 1, 1, 0, 1, 1, 0, 1, 2])
+    assert np.array_equal(golden.match_edges_batch(a, data),
+                          golden.match_dense_batch(a, data))
