@@ -11,6 +11,15 @@ positions for ~86 VPU ops, 14 gathers). Round-4 hypotheses:
             gathers deeper (and possibly sustain unroll=8).
   * unroll: re-sweep 2/4/8 under each structure (round-2's U=8
             regression was measured on the fused loop with linear scan).
+  * resid8: force the alive filter to 8-bit residuals (VERDICT r3 lever
+            b): the flagship ~1.9K-key table drops from 8 to 4 word
+            planes (~12 of the ~86 VPU ops). Kernel out gains ~2^-8
+            false alive bits, so parity is checked within the resid8
+            family only (the full pipeline stays exact either way).
+  * diag:   cost-share probes — kernel with m2+m3 dropped, alive
+            dropped, and m1-only. NOT production output; the deltas
+            attribute kernel_ms to probe families for the next design
+            round.
 
 Prints one JSON line per variant (amortized kernel-only ms on 64 MB,
 min of 3) plus correctness vs the default variant's output.
@@ -72,35 +81,81 @@ def main():
                 + [jax.device_put(np.asarray(x), dev) for x in wt.arrays])
     dense = jax.device_put(np.zeros(1, np.int32), dev)
 
+    def fingerprint(pipe, args):
+        out, bits = pipe(*args)
+        fp = int(np.asarray(jnp.sum(out.astype(jnp.uint32)
+                                    * (jnp.arange(out.size,
+                                                  dtype=jnp.uint32)
+                                       % 8191 + 1))[None])[0])
+        bfp = int(np.asarray(jnp.sum(
+            jax.lax.population_count(bits))[None])[0])
+        return fp, bfp
+
+    def measure(tag, tabs, wtabs, args, ref, extra):
+        try:
+            pipe = jax.jit(S.build_pipeline(
+                a, tabs, npad=npad, cap=4096, kernel_only=True,
+                aligned=True, unroll=extra["unroll"],
+                split_loops=extra["split"], walk_tables=wtabs))
+            ms = timeit(pipe, args) * 1e3
+            got = fingerprint(pipe, args)
+            rec = dict(extra)
+            rec.update({"variant": tag, "kernel_ms_64mb": round(ms, 3)})
+            if ref is not None:
+                rec["parity"] = got == ref
+            print(json.dumps(rec), flush=True)
+            return got
+        except Exception as e:
+            rec = dict(extra)
+            rec.update({"variant": tag, "error": repr(e)[:160]})
+            print(json.dumps(rec), flush=True)
+            return None
+
+    args = (args_dev, dense, data_dev, n_arr)
     ref_out = None
-    variants = []
     for tree in (False, True):
         for split in (False, True):
             for unroll in (2, 4, 8):
-                variants.append((tree, split, unroll))
-    for tree, split, unroll in variants:
-        S.LOOKUP_TREE_MIN = 4 if tree else (1 << 30)
-        try:
-            pipe = jax.jit(S.build_pipeline(
-                a, t, npad=npad, cap=4096, kernel_only=True, aligned=True,
-                unroll=unroll, split_loops=split, walk_tables=wt))
-            ms = timeit(pipe, (args_dev, dense, data_dev, n_arr)) * 1e3
-            out, bits = pipe(args_dev, dense, data_dev, n_arr)
-            fp = int(np.asarray(jnp.sum(out.astype(jnp.uint32)
-                                        * (jnp.arange(out.size,
-                                                      dtype=jnp.uint32)
-                                           % 8191 + 1))[None])[0])
-            bfp = int(np.asarray(jnp.sum(
-                jax.lax.population_count(bits))[None])[0])
-            if ref_out is None:
-                ref_out = (fp, bfp)
-            ok = (fp, bfp) == ref_out
-            print(json.dumps({"tree": tree, "split": split, "unroll": unroll,
-                              "kernel_ms_64mb": round(ms, 3),
-                              "parity": ok}), flush=True)
-        except Exception as e:
-            print(json.dumps({"tree": tree, "split": split, "unroll": unroll,
-                              "error": repr(e)[:160]}), flush=True)
+                S.LOOKUP_TREE_MIN = 4 if tree else (1 << 30)
+                got = measure("main", t, wt, args, ref_out,
+                              {"tree": tree, "split": split,
+                               "unroll": unroll})
+                if ref_out is None:
+                    ref_out = got
+
+    # --- resid8 arm (lever b): rebuild with 8-bit alive residuals.
+    # Kernel out differs from resid16 by ~2^-8 extra alive bits, so
+    # parity is within-family (the pipeline output stays exact).
+    S._RESID8_THRESHOLD = 0
+    t8 = S.SieveTables.build(a)
+    wt8 = S.build_walk_tables_gated(a, t8)
+    args8 = ([jax.device_put(x, dev) for x in t8.arrays]
+             + [jax.device_put(np.asarray(x), dev) for x in wt8.arrays],
+             dense, data_dev, n_arr)
+    ref8 = None
+    for tree in (False, True):
+        for unroll in (4, 8):
+            S.LOOKUP_TREE_MIN = 4 if tree else (1 << 30)
+            got = measure("resid8", t8, wt8, args8, ref8,
+                          {"tree": tree, "split": False, "unroll": unroll})
+            if ref8 is None:
+                ref8 = got
+    S._RESID8_THRESHOLD = 8192
+    S.LOOKUP_TREE_MIN = 1 << 30
+
+    # --- cost-share diagnostics: drop probe families. Output is NOT the
+    # production contract (missing match families / alive bits); the
+    # kernel_ms deltas attribute cost per family.
+    import dataclasses
+    for tag, mod in (("diag_no_m23", dict(m2=None, m3=None)),
+                     ("diag_no_alive", dict(alive=None)),
+                     ("diag_m1_only", dict(m2=None, m3=None, alive=None))):
+        td = dataclasses.replace(t, **mod)
+        argsd = ([jax.device_put(x, dev) for x in td.arrays]
+                 + [jax.device_put(np.asarray(x), dev) for x in wt.arrays],
+                 dense, data_dev, n_arr)
+        measure(tag, td, wt, argsd, None,
+                {"tree": False, "split": False, "unroll": 4})
 
 
 if __name__ == "__main__":

@@ -535,3 +535,38 @@ class TestKernelVariants:
             assert np.array_equal(np.asarray(out)[:n], exp)
         finally:
             S.LOOKUP_TREE_MIN = old
+
+    def test_resid8_forced_exact(self, monkeypatch):
+        """Forcing 8-bit alive residuals (the kernel_ab2 resid8 arm /
+        VERDICT r3 lever b) only ADDS ~2^-8 false survivors, which the
+        exact walk kills — the full pipeline stays bit-exact."""
+        import jax.numpy as jnp
+        import pfac_tpu.backends.pallas_sieve as S
+
+        monkeypatch.setattr(S, "_RESID8_THRESHOLD", 0)
+        rng = np.random.default_rng(12)
+        pats = [bytes(rng.integers(0, 256, size=int(l), dtype=np.uint8))
+                for l in list(rng.integers(1, 4, size=6))
+                + list(rng.integers(4, 14, size=40))]
+        pats = list(dict.fromkeys(pats))
+        a = Automaton.from_patterns(pats)
+        t = SieveTables.build(a)
+        assert t.alive is not None and t.alive.resid_bits == 8
+        wt = S.build_walk_tables_gated(a, t)
+        n = 4096
+        data = rng.integers(0, 256, size=n, dtype=np.uint8)
+        for i in range(0, n - 16, 53):
+            p = pats[int(rng.integers(0, len(pats)))]
+            data[i:i + len(p)] = np.frombuffer(p, np.uint8)
+        exp = golden.match_dense_batch(a, bytes(data))
+        npad = S.npad_for(n, 64)
+        datap = np.pad(data, (0, npad - n))
+        args = ([jnp.asarray(x) for x in t.arrays]
+                + [jnp.asarray(x) for x in wt.arrays])
+        fn = S.build_pipeline(
+            a, t, npad=npad, cap=1024, interpret=True, aligned=True,
+            tile_rows=64, walk_tables=wt)
+        out, _, _ = fn(args, jnp.zeros(1, jnp.int32),
+                       jnp.asarray(datap),
+                       jnp.full((1,), n, jnp.int32))
+        assert np.array_equal(np.asarray(out)[:n], exp)
