@@ -76,20 +76,24 @@ def main():
             else:
                 k, reps = 3, 2
             S.DENSE_ESCAPE_DIV = div
-            m = S.SieveMatcher(a, device=dev)
-            npad = S.npad_for(n)
-            fn = m._pipeline_fn(npad, 4096, aligned=(n == npad))
-            n_arr = jnp.full((1,), n, jnp.int32)
-            out, cnt, _ = fn(m._table_args, m._dense_flat, dd, n_arr)
-            ok = np.array_equal(np.asarray(out[:65536]), exp_slice)
-            t = amortized(
-                lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0],
-                k=k, reps=reps)
-            print(json.dumps({"corpus": label, "escape_div": div,
-                              "ms": round(t * 1e3, 2),
-                              "GBps": round(n / t / 1e9, 3),
-                              "survivors_post": int(cnt),
-                              "parity_slice": bool(ok)}), flush=True)
+            try:
+                m = S.SieveMatcher(a, device=dev)
+                npad = S.npad_for(n)
+                fn = m._pipeline_fn(npad, 4096, aligned=(n == npad))
+                n_arr = jnp.full((1,), n, jnp.int32)
+                out, cnt, _ = fn(m._table_args, m._dense_flat, dd, n_arr)
+                ok = np.array_equal(np.asarray(out[:65536]), exp_slice)
+                t = amortized(
+                    lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0],
+                    k=k, reps=reps)
+                print(json.dumps({"corpus": label, "escape_div": div,
+                                  "ms": round(t * 1e3, 2),
+                                  "GBps": round(n / t / 1e9, 3),
+                                  "survivors_post": int(cnt),
+                                  "parity_slice": bool(ok)}), flush=True)
+            except Exception as e:       # one variant must not kill the sweep
+                print(json.dumps({"corpus": label, "escape_div": div,
+                                  "error": repr(e)[:160]}), flush=True)
 
 
 if __name__ == "__main__":
