@@ -143,6 +143,43 @@ def main():
     S._RESID8_THRESHOLD = 8192
     S.LOOKUP_TREE_MIN = 1 << 30
 
+    # --- resid8 END-TO-END arm: the kernel-only delta is only half the
+    # trade. resid8's ~2^-8 false alive bits are CORPUS-sized survivors
+    # (64 MB random traffic: ~262K extra, ~4 extra 64K heavy walker
+    # rounds) — a cost the kernel-only arm can't see. The
+    # _RESID8_THRESHOLD flip is decided HERE, on the full pipeline at
+    # production cap; both families are exact end-to-end, so parity is
+    # cross-family and must hold.
+    def measure_e2e(tag, tabs, wtabs, args, ref):
+        try:
+            pipe = jax.jit(S.build_pipeline(
+                a, tabs, npad=npad, cap=4096, aligned=True,
+                walk_tables=wtabs))
+
+            def fn(ta, df, du, na):
+                out, cnt, ovf = pipe(ta, df, du, na)
+                return out, cnt
+            ms = timeit(jax.jit(fn), args) * 1e3
+            out, cnt, ovf = pipe(*args)
+            fp = int(np.asarray(jnp.sum(
+                out.astype(jnp.uint32)
+                * (jnp.arange(out.size, dtype=jnp.uint32) % 8191 + 1)
+            )[None])[0])
+            rec = {"variant": tag, "e2e_ms_64mb": round(ms, 3),
+                   "matches": int(np.asarray(cnt[None])[0]),
+                   "overflow": int(np.asarray(ovf[None])[0])}
+            if ref is not None:
+                rec["parity"] = fp == ref
+            print(json.dumps(rec), flush=True)
+            return fp
+        except Exception as e:
+            print(json.dumps({"variant": tag, "error": repr(e)[:160]}),
+                  flush=True)
+            return None
+
+    ref_fp = measure_e2e("e2e_resid16", t, wt, args, None)
+    measure_e2e("e2e_resid8", t8, wt8, args8, ref_fp)
+
     # --- cost-share diagnostics: drop probe families. Output is NOT the
     # production contract (missing match families / alive bits); the
     # kernel_ms deltas attribute cost per family.
