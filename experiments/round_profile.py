@@ -227,26 +227,36 @@ def main():
               f"{t*1e3:8.2f} ms total, {t*1e9/total:6.1f} ns/survivor",
               flush=True)
 
-    # production-walker ALIGN_TREE A/B (the align strategy inside the
-    # real kernel, not just align_micro's standalone form)
+    # production-walker align-strategy A/B (the align inside the real
+    # kernel, not just align_micro's standalone form): linear scan vs
+    # select tree vs sublane gather. acc doubles as the parity check —
+    # all three modes must print the same value.
     import pfac_tpu.backends.pallas_walk as W
-    for flag in (False, True):
-        W.ALIGN_TREE = flag
-        wfn2 = build_walker(wt, cap=CAP, sieve_tables=tables)
+    for mode in ("linear", "tree", "subgather"):
+        W.ALIGN_TREE = mode == "tree"
+        W.ALIGN_SUBGATHER = mode == "subgather"
+        try:
+            wfn2 = build_walker(wt, cap=CAP, sieve_tables=tables)
 
-        @jax.jit
-        def fwalk(bits, bcum, data2d):
-            acc = jnp.int32(0)
-            for i in range(ROUNDS):
-                pos, _ = S._compact(bits, CAP, npad, rank_offset=i * CAP,
-                                    bcum=bcum)
-                merged = wfn2(list(m123) + list(wargs), data2d, pos, n_arr)
-                acc += jnp.sum(merged)
-            return acc
-        t = amortized(fwalk, (bits, bcum, data2d))
-        print(f"walk rounds ALIGN_TREE={flag}: {t*1e3:8.2f} ms "
-              f"({ROUNDS} rounds)", flush=True)
+            @jax.jit
+            def fwalk(bits, bcum, data2d):
+                acc = jnp.int32(0)
+                for i in range(ROUNDS):
+                    pos, _ = S._compact(bits, CAP, npad,
+                                        rank_offset=i * CAP, bcum=bcum)
+                    merged = wfn2(list(m123) + list(wargs), data2d, pos,
+                                  n_arr)
+                    acc += jnp.sum(merged)
+                return acc
+            t = amortized(fwalk, (bits, bcum, data2d))
+            acc = int(np.asarray(fwalk(bits, bcum, data2d)[None])[0])
+            print(f"walk rounds align={mode}: {t*1e3:8.2f} ms "
+                  f"({ROUNDS} rounds, acc={acc})", flush=True)
+        except Exception as e:
+            print(f"walk rounds align={mode}: ERROR {e!r}"[:200],
+                  flush=True)
     W.ALIGN_TREE = False
+    W.ALIGN_SUBGATHER = False
 
 
 if __name__ == "__main__":

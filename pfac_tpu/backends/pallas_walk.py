@@ -79,6 +79,18 @@ ALIGN_TREE = False          # window alignment as a select TREE over wv's
                             # pressure risk; A/B on chip
                             # (experiments/align_micro.py)
 
+ALIGN_SUBGATHER = False     # window alignment as ONE sublane (axis-0)
+                            # take_along_axis per word over the raw block
+                            # loaded as a value: idx[s,l] = (wv[l]+w)*8+s.
+                            # Replaces the whole 32-row select chain with a
+                            # single gather per word IF Mosaic's axis-0
+                            # dynamic gather over tall VMEM values is cheap
+                            # (unknown: CLAUDE.md's measured gather facts
+                            # cover lane gathers only); A/B on chip
+                            # (align_micro standalone + round_profile
+                            # production form). Takes precedence over
+                            # ALIGN_TREE when both are set.
+
 
 # --------------------------------------------------------------------------
 # host-side table construction
@@ -377,8 +389,20 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
         # the rows it actually reaches, so vregs whose lanes all die
         # shallow never pay for the deep window
         aligned = [0]
+        raw_val = [None]    # ALIGN_SUBGATHER: raw block loaded once
 
         def ensure(w_hi):
+            if ALIGN_SUBGATHER:
+                if raw_val[0] is None:
+                    raw_val[0] = raw_ref[:]
+                srow_al = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, LANES), 0)
+                for w in range(aligned[0], min(w_hi, w_out)):
+                    idx = (wv + w) * 8 + srow_al
+                    win[w * 8:(w + 1) * 8, :] = jnp.take_along_axis(
+                        raw_val[0], idx, axis=0)
+                aligned[0] = max(aligned[0], min(w_hi, w_out))
+                return
             for w in range(aligned[0], min(w_hi, w_out)):
                 if ALIGN_TREE:
                     rows = [raw_ref[(w + s) * 8:(w + s + 1) * 8, :]
