@@ -723,19 +723,23 @@ REDUCE_CAP = 1 << 16    # match ranks per reduce chunk (64K measured best:
                         # intermediates spill — 43 ms vs 50 ms at 256K)
 
 
-REDUCE_SCATTER_MAX = True   # sorted scatter-max pack (linear output pass)
-                            # vs the chunked rank-select row-gather walk
+REDUCE_SCATTER_MAX = False  # r4 capture (experiments/logs_r4/
+                            # reduce_micro.log): the sorted scatter-max
+                            # pack is WRONG on TPU (duplicate indices
+                            # under indices_are_sorted mis-lower) and
+                            # 1184 ms/64 MB (per-index, not linear).
+                            # Default = chunked rank-select row gathers.
 
 
 def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
     """Dense match vector -> compacted (ids, pos, count), positions
     ascending; entries past count are zero.
 
-    Default path: xla._reduce_scatter_max — one cumsum + two sorted
-    scatter-max passes, O(n) streaming traffic. The chunked rank-select
-    row-gather walk (xla._reduce_rowgather) remains as the comparison
-    path; its per-rank 128-wide row gathers cost ~4 gathered rows per
-    output rank (~25 ms floor on 2M matches)."""
+    Default path: xla._reduce_rowgather — chunked rank-select row
+    gathers (~4 gathered rows per output rank). The scatter-max pack
+    (xla._reduce_scatter_max) is kept only as a comparison arm: the r4
+    on-chip capture showed its duplicate-index sorted scatters are both
+    mis-lowered (wrong results) and per-index-slow on TPU."""
     if REDUCE_SCATTER_MAX:
         from .xla import _reduce_scatter_max
         return _reduce_scatter_max(result)
@@ -753,20 +757,26 @@ def reduce_from_dense(result: jax.Array, cap: int = REDUCE_CAP):
 # regime is gather-bound on TPU either way).
 # --------------------------------------------------------------------------
 
-HEAVY_CAP = 1 << 16     # survivor ranks per heavy round
-PER_IDX_ROUNDS = 4      # leading heavy rounds that scatter per-index
-                        # in-loop on large corpora (tier A): per-index
-                        # cost is hc-shaped (~8 ns/index), the sorted
-                        # alternative is an npad-shaped full-output pass
-PER_IDX_NPAD_MIN = 23 << 20   # positions above which one full-output
-                        # pass (~npad*8B / ~170 GB/s) costs more than two
-                        # per-index rounds — scatter_micro.py capture
-                        # pending (MEASUREMENTS.md)
-R_BUF_ROUNDS = 16       # heavy rounds whose (pos, val) pairs are buffered
-                        # for the single deferred scatter (1M survivors,
-                        # 8 MB of buffers); rounds past that — only
-                        # pathological all-positions-match corpora —
-                        # scatter directly per round
+HEAVY_CAP = 1 << 15     # survivor ranks per heavy round — r4 cap sweep
+                        # (round_profile.log): 32K x 8 rounds = 62.6
+                        # ns/survivor vs 64K x 4 = 68.6 at equal coverage
+PER_IDX_ROUNDS = 0      # tier-A per-index in-loop scatters DISABLED —
+                        # r4 captures (scatter_micro.log,
+                        # round_profile.log): plain per-index scatter is
+                        # ~114 ns/index (6.11 ms marginal per 64K round),
+                        # not the assumed ~8 ns, while the sorted+unique
+                        # one-shot is a flat linear output pass (~3.2 ms
+                        # at 128 MB npad) — buffering always wins
+PER_IDX_NPAD_MIN = 23 << 20   # (unused while PER_IDX_ROUNDS == 0; kept
+                        # with the tier machinery for re-capture)
+R_BUF_ROUNDS = 32       # heavy rounds whose (pos, val) pairs are buffered
+                        # for the single deferred scatter — 32 x 32K
+                        # keeps the round-2-measured 1M-survivor / 8 MB
+                        # buffered coverage at the r4 HEAVY_CAP; rounds
+                        # past that — only pathological
+                        # all-positions-match corpora — scatter directly
+                        # per round (r4: ~5 ms/round worse than buffered,
+                        # round_profile.log)
 # depth stages with survivor-fraction headroom for realistic length mixes
 # (virus-dense Snort-like: P(len>16)~0.55, P(len>48)~0.09, P(len>112)~0.005);
 # consumed by the CSR row-gather walker (backends.xla_csr)

@@ -67,9 +67,11 @@ ROW_BYTES = 128
 ROW_WORDS = ROW_BYTES // 4
 GROUP = 8 * LANES          # survivors per kernel grid step
 
-WINDOWS_U8_BITCAST = False  # prepare_windows: u8 transpose + LE bitcast
-                            # vs i32 strided-select (A/B on chip —
-                            # experiments/windows_profile.py)
+WINDOWS_U8_BITCAST = True   # prepare_windows: u8 transpose + LE bitcast
+                            # beats i32 strided-select 2.34 vs 2.54 ms
+                            # per 64K-survivor round (r4 capture,
+                            # experiments/logs_r4/windows_profile.log,
+                            # parity exact both ways)
 
 ALIGN_TREE = False          # window alignment as a select TREE over wv's
                             # 5 bits (31 selects + 5 shared bit tests per

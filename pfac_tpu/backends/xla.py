@@ -429,19 +429,19 @@ def _rank_rows(bcum: jax.Array, q: jax.Array):
 
 @jax.jit
 def _reduce_scatter_max(match_padded: jax.Array):
-    """Compaction as TWO sorted scatter-max passes.
+    """Compaction as TWO sorted scatter-max passes. DO NOT USE ON TPU.
 
-    dest[i] = cumsum(flags)[i] - 1 is NON-DECREASING over every position
-    (not just matches), so the scatter legally carries
-    indices_are_sorted=True and lowers to a linear output pass instead of
-    per-index traffic. Non-match positions scatter 0, which loses the max
-    against any real id (>= 1) / position+1 (>= 1). Leading non-matches
-    get dest = -1, dropped as out-of-bounds. One hierarchical prefix
-    (_prefix_1d — NOT jnp.cumsum, whose reduce-window lowering makes
-    O(n log n) HBM passes at corpus size) + two scatters: O(n) streaming
-    traffic, no per-rank 128-wide row gathers (the _reduce_rowgather
-    amplification). Same contract: (ids, pos, count), entries past count
-    are zero/undefined."""
+    r4 on-chip capture (experiments/logs_r4/reduce_micro.log): with
+    duplicate destination indices (dest repeats over non-match runs),
+    indices_are_sorted=True makes XLA:TPU produce WRONG results for the
+    max-scatter, and the lowering is per-index anyway (1184 ms on a
+    64 MB corpus — the 0.12 G elem/s elementwise scatter rate, not a
+    linear output pass). Kept only as the A/B comparison arm behind
+    pallas_sieve.REDUCE_SCATTER_MAX (default False) and as the record
+    of why: the theory was dest = cumsum(flags)-1 is non-decreasing, so
+    the scatter "legally" carries the sorted hint — legal per docs, but
+    mis-lowered in practice. Correct on CPU (hint ignored there), which
+    is why interpret-mode tests never caught it."""
     m = match_padded.astype(jnp.int32)
     n = m.shape[0]
     flags = m > 0
