@@ -88,9 +88,11 @@ def main():
     ref = None
     for tag, div, wtab, args in (
             ("esc_on", 4, wt, args_wt),
+            ("esc_check_only", 4, wt, args_wt),
             ("esc_off", 0, wt, args_wt),
             ("esc_off_nowt", 0, None, args_nowt)):
         S.DENSE_ESCAPE_DIV = div
+        S._ESC_CHECK_ONLY = tag == "esc_check_only"
         try:
             pipe = jax.jit(S.build_pipeline(
                 a, t, npad=npad, cap=4096, kernel_only=True, aligned=True,
@@ -106,6 +108,7 @@ def main():
             print(json.dumps({"variant": tag, "error": repr(e)[:160]}),
                   flush=True)
     S.DENSE_ESCAPE_DIV = 4
+    S._ESC_CHECK_ONLY = False
 
 
 if __name__ == "__main__":

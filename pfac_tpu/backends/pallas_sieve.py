@@ -82,6 +82,12 @@ DENSE_ESCAPE_DIV = 4  # dense-block escape threshold: a grid block whose
                       # in-kernel walk costs ~0.3 ms/block at full depth
                       # but ~5 us/block for shallow rulesets. 0 disables.
 
+_ESC_CHECK_ONLY = False   # bisect aid (experiments/escape_ab.py): arm the
+                          # dense-block check + branch but replace the walk
+                          # body with a bitmap zero — attributes the escape
+                          # cost between the check and the body's register
+                          # pressure. Never set in production.
+
 # len-1 pattern count up to which the m1 probe is a compare/select chain
 # instead of a 2-plane direct table. The kernel is ISSUE-bound (~82 cy
 # per row-group ~= its ~86 VPU ops), so each chain entry costs its 2 ops
@@ -590,6 +596,12 @@ def _make_kernel(tables: SieveTables, grid: int,
                 # slice drops them) — never escape it; the last REAL
                 # block's lookahead lives in the tail buffer, not halo_ref
                 esc = esc & (g < sg)
+
+            if _ESC_CHECK_ONLY:
+                @pl.when(esc)
+                def _():
+                    bits_ref[:] = jnp.zeros((SUB_, LANES), jnp.int32)
+                return
 
             @pl.when(esc)
             def _():
