@@ -6,9 +6,8 @@ Candidate replacements, per aligned word:
 
   a) select TREE: 32 loads + 5 bit tests + 31 selects (fewer compares,
      bigger live set);
-  b) sublane take_along_axis over the tall raw block loaded as a value:
-     idx[s,l] = (wv[l] + w) * 8 + s — one gather per word IF Mosaic's
-     axis-0 gather scans tall arrays efficiently (unknown; measured here).
+  b) (removed r5) sublane take_along_axis: Mosaic cannot lower axis-0
+     dynamic gathers on this chip at all (experiments/axis0_gather_probe).
 
 Prints amortized kernel-only ms per variant on a 64K-survivor geometry,
 plus parity vs variant (base).
@@ -56,13 +55,6 @@ def make_kernel(variant: str):
                           for i in range(0, len(gs), 2)]
                     level += 1
                 out_ref[w * 8:(w + 1) * 8, :] = gs[0]
-        elif variant == "subgather":
-            raw = raw_ref[:]                      # (W_RAW*8, 128) value
-            srow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            for w in range(W_OUT):
-                idx = (wv + w) * 8 + srow
-                out_ref[w * 8:(w + 1) * 8, :] = jnp.take_along_axis(
-                    raw, idx, axis=0)
     return kernel
 
 
@@ -109,7 +101,7 @@ def main():
         rng.integers(-(1 << 31), 1 << 31, size=(g * W_RAW * 8, 128),
                      dtype=np.int64).astype(np.int32), dev)
     ref = None
-    for variant in ("base", "tree", "subgather"):
+    for variant in ("base", "tree"):
         try:
             t, out = run_variant(variant, pos2d, raw, g)
             fp = int(np.asarray(jnp.sum(out.astype(jnp.uint32)

@@ -69,7 +69,15 @@ def main():
 
     for label, a, dd, n in (("all_match_32mb", a1, d1, n1),
                             ("virus_dense_8mb", a2, d2, n2)):
-        exp_slice = golden.match_dense_batch(a, bytes(np.asarray(dd[:65536])))
+        # parity window: positions within max_pattern_len of the slice
+        # end legitimately differ when golden runs on the TRUNCATED slice
+        # (their matches extend past it) — compare only the prefix that
+        # both sides computed from identical visible bytes (r4 verdict:
+        # the old full-slice compare made parity_slice false on EVERY
+        # arm, so the constant sweep had no working correctness bit)
+        pw = 65536 - a.max_pattern_len
+        exp_slice = golden.match_dense_batch(
+            a, bytes(np.asarray(dd[:65536])))[:pw]
         for div in (0, 16, 8, 4, 2):
             if div == 0 and label == "all_match_32mb":
                 k, reps = 2, 1          # escape-off all-match is seconds/run
@@ -82,7 +90,7 @@ def main():
                 fn = m._pipeline_fn(npad, 4096, aligned=(n == npad))
                 n_arr = jnp.full((1,), n, jnp.int32)
                 out, cnt, _ = fn(m._table_args, m._dense_flat, dd, n_arr)
-                ok = np.array_equal(np.asarray(out[:65536]), exp_slice)
+                ok = np.array_equal(np.asarray(out[:pw]), exp_slice)
                 t = amortized(
                     lambda: fn(m._table_args, m._dense_flat, dd, n_arr)[0],
                     k=k, reps=reps)

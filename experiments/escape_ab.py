@@ -1,24 +1,24 @@
-"""Round-4 regression bisect: dense-block escape arming cost.
+"""Round-5 escape A/B: XLA-side dense-block escape vs none.
 
-bench.py r4 captured 7.48 GB/s (17.9 ms/128 MB) vs round-3's 11.25 ms
-kernel_ms — a ~5-6 ms regression that landed with the offline round-4
-kernel changes. Prime suspect: the dense-block escape (commit 85d9068)
-whose NOT-TAKEN cost is the per-block bitmap SWAR popcount + the esc
-branch skeleton (its own comment estimates ~60 vector ops/block vs the
-kernel's ~86-op budget).
+Round 4 shipped the dense-block escape INSIDE the sieve kernel and its
+not-taken cost regressed the headline 35% (logs_r4/escape_ab.log:
+esc_on 8.437 vs esc_off 6.238 ms/64 MB). Round 5 moved the decision to
+XLA (popcounts the compaction needs anyway) and the walk to a separate
+block-walk kernel dispatched only over dense blocks
+(pallas_sieve.build_block_walk).
 
-Arms (kernel-only, 64 MB random, flagship ruleset — same harness shape
-as kernel_ab2 so numbers are directly comparable):
-  esc_on   DENSE_ESCAPE_DIV=4 (production default, = kernel_ab2 "main")
-  esc_off  DENSE_ESCAPE_DIV=0 (escape disarmed; walk tables still ride
-           along unused, so VMEM layout stays production-like)
-  esc_off_nowt  walk_tables=None entirely (also drops the walk-table
-           VMEM residency and scratch refs)
+Arms (64 MB, flagship ruleset):
+  kernel_only      the sieve kernel alone — escape-free by construction
+                   now; must match r4's esc_off 6.238 ms/64 MB
+  e2e_esc_on       full pipeline, random corpus, DENSE_ESCAPE_DIV=4:
+                   the not-taken escape must cost ~0 vs e2e_esc_off
+  e2e_esc_off      full pipeline, random corpus, escape disabled
+  allmatch_esc_on  full pipeline on an all-'a' corpus (aaaa + deep
+                   patterns): every block escapes
+  allmatch_esc_off same corpus, per-survivor walker rounds only
 
-Flip rule: if esc_off recovers the round-3 per-byte cost (~5.6 ms/64MB)
-the escape check must move off the hot path (e.g. popcount from the
-already-reduced per-block survivor count, or a coarser SWAR); if not,
-bisect continues into the 8b6644b tree/split refactor.
+Parity is cross-checked between on/off arms via a weighted fingerprint
+of the full dense result (identical inputs, identical contract).
 """
 import json
 import sys
@@ -35,20 +35,27 @@ CORPUS_MB = 64
 K = 8
 
 
-def timeit(fn, args) -> float:
-    out, bits = fn(*args)
-    _ = np.asarray(out[:1])
+def timeit(fn, args, k=K, reps=3, first=1):
+    out = fn(*args)
+    _ = np.asarray(out[0].reshape(-1)[:1])
 
-    def once(k):
+    def once(j):
         t0 = time.perf_counter()
-        for _ in range(k):
-            out, bits = fn(*args)
-        _ = np.asarray(out[:1])
+        for _ in range(j):
+            out = fn(*args)
+        _ = np.asarray(out[0].reshape(-1)[:1])
         return time.perf_counter() - t0
 
-    t1 = min(once(1) for _ in range(4))
-    tk = min(once(K) for _ in range(3))
-    return (tk - t1) / (K - 1)
+    t1 = min(once(1) for _ in range(reps + 1))
+    tk = min(once(k) for _ in range(reps))
+    return (tk - t1) / (k - 1)
+
+
+def fp(out):
+    r = out.reshape(-1)
+    return int(np.asarray(jnp.sum(
+        r.astype(jnp.uint32)
+        * (jnp.arange(r.size, dtype=jnp.uint32) % 8191 + 1))[None])[0])
 
 
 def main():
@@ -67,48 +74,52 @@ def main():
     wt = S.build_walk_tables_gated(a, t)
     rng = np.random.default_rng(0)
     n = CORPUS_MB << 20
-    data_dev = jax.device_put(rng.integers(0, 256, size=n, dtype=np.uint8),
-                              dev)
+    rand_dev = jax.device_put(
+        rng.integers(0, 256, size=n, dtype=np.uint8), dev)
     n_arr = jnp.full((1,), n, jnp.int32)
     npad = S.npad_for(n)
-    args_wt = ([jax.device_put(x, dev) for x in t.arrays]
-               + [jax.device_put(np.asarray(x), dev) for x in wt.arrays],
-               jax.device_put(np.zeros(1, np.int32), dev),
-               data_dev, n_arr)
-    args_nowt = ([jax.device_put(x, dev) for x in t.arrays],
-                 args_wt[1], data_dev, n_arr)
+    targs = ([jax.device_put(x, dev) for x in t.arrays]
+             + [jax.device_put(np.asarray(x), dev) for x in wt.arrays])
+    dense0 = jax.device_put(np.zeros(1, np.int32), dev)
 
-    def fp(pipe, args):
-        out, bits = pipe(*args)
-        return int(np.asarray(jnp.sum(out.astype(jnp.uint32)
-                                      * (jnp.arange(out.size,
-                                                    dtype=jnp.uint32)
-                                         % 8191 + 1))[None])[0])
+    # ---- kernel-only (escape-free by construction now)
+    pipe_k = jax.jit(S.build_pipeline(
+        a, t, npad=npad, cap=4096, kernel_only=True, aligned=True,
+        walk_tables=wt))
+    ms = timeit(pipe_k, (targs, dense0, rand_dev, n_arr)) * 1e3
+    print(json.dumps({"variant": "kernel_only",
+                      "kernel_ms_64mb": round(ms, 3)}), flush=True)
 
-    ref = None
-    for tag, div, wtab, args in (
-            ("esc_on", 4, wt, args_wt),
-            ("esc_check_only", 4, wt, args_wt),
-            ("esc_off", 0, wt, args_wt),
-            ("esc_off_nowt", 0, None, args_nowt)):
-        S.DENSE_ESCAPE_DIV = div
-        S._ESC_CHECK_ONLY = tag == "esc_check_only"
-        try:
+    # ---- all-match corpus on an aaaa+deep ruleset (blocks escape)
+    a2 = Automaton.from_patterns([b"aaaa", b"a" * 37])
+    t2 = S.SieveTables.build(a2)
+    wt2 = S.build_walk_tables_gated(a2, t2)
+    am_dev = jax.device_put(np.full(n, ord("a"), np.uint8), dev)
+    targs2 = ([jax.device_put(x, dev) for x in t2.arrays]
+              + [jax.device_put(np.asarray(x), dev) for x in wt2.arrays])
+
+    for corpus, aa, tt, wtt, ta, dd in (
+            ("random", a, t, wt, targs, rand_dev),
+            ("allmatch", a2, t2, wt2, targs2, am_dev)):
+        ref = None
+        for div in (4, 0):
+            S.DENSE_ESCAPE_DIV = div
             pipe = jax.jit(S.build_pipeline(
-                a, t, npad=npad, cap=4096, kernel_only=True, aligned=True,
-                walk_tables=wtab))
-            ms = timeit(pipe, args) * 1e3
-            got = fp(pipe, args)
-            rec = {"variant": tag, "kernel_ms_64mb": round(ms, 3)}
+                aa, tt, npad=npad, cap=4096, aligned=True, walk_tables=wtt))
+            args = (ta, dense0, dd, n_arr)
+            out = pipe(*args)[0]
+            got = fp(out)
+            ms = timeit(pipe, args,
+                        k=3 if (corpus == "allmatch" and div == 0) else K,
+                        reps=1 if (corpus == "allmatch" and div == 0) else 2)
+            rec = {"variant": f"e2e_{corpus}_div{div}",
+                   "ms_64mb": round(ms * 1e3, 3),
+                   "GBps": round(n / ms / 1e9, 3)}
             if ref is not None:
                 rec["parity"] = got == ref
-            ref = ref if ref is not None else got
+            ref = got if ref is None else ref
             print(json.dumps(rec), flush=True)
-        except Exception as e:
-            print(json.dumps({"variant": tag, "error": repr(e)[:160]}),
-                  flush=True)
     S.DENSE_ESCAPE_DIV = 4
-    S._ESC_CHECK_ONLY = False
 
 
 if __name__ == "__main__":

@@ -43,43 +43,51 @@ def worker(proc_id: int) -> None:
     pats = [b"q", b"qw", b"qwe", b"qwert", b"hello"]
     a = Automaton.from_patterns(pats)
     mesh = multihost.global_mesh()
-    sm = ShardedMatcher(a, mesh=mesh, tile=256, engine="xla")
 
     # deterministic global corpus; every process derives the same bytes
     rng = np.random.default_rng(11)
     n = 8 * 512 + 77
     buf = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8).tobytes())
-    sl = sm._shard_len(n)
-    for b in range(sl, n - 6, sl):
-        buf[b - 2:b + 3] = b"qwert"
     buf[:5] = b"hello"
-    data = bytes(buf)
-
-    # per-host feeding: this process loads only its own slice
-    total = sl * sm.num_devices
-    padded = np.zeros(total, dtype=np.uint8)
-    padded[:n] = np.frombuffer(data, np.uint8)
-    start, stop = multihost.host_shard_slice(total, sl)
-    arr = multihost.put_host_shards(sm, padded[start:stop], total)
-
-    matches, count = sm.match_device(arr, n)
-    count = int(count)
-
-    expected = golden.match_dense(a, data)
+    expected = golden.match_dense(a, bytes(buf))
     exp_count = int((expected > 0).sum())
-    assert count == exp_count, (count, exp_count)
-    # each process checks its own addressable shards of the result
-    for shard in matches.addressable_shards:
-        lo = shard.index[0].start or 0
-        local = np.asarray(shard.data)
-        hi = min(lo + local.shape[0], n)
-        if hi > lo:
-            assert np.array_equal(local[: hi - lo], expected[lo:hi]), (
-                f"proc {proc_id} shard at {lo} mismatches"
-            )
-    print(f"[proc {proc_id}] OK: count={count}, "
-          f"{len(jax.devices())} global devices, "
-          f"{len(jax.local_devices())} local")
+
+    # both engines cross the process boundary: the XLA lockstep walker
+    # and the sieve pipeline (interpret on CPU devices; the ppermute
+    # halo + tail_split layout are identical to the compiled TPU path)
+    for engine in ("xla", "sieve"):
+        sm = ShardedMatcher(a, mesh=mesh, tile=256, engine=engine,
+                            interpret=engine == "sieve")
+        sl = sm._shard_len(n)
+        data = bytearray(buf)
+        for b in range(sl, n - 6, sl):
+            data[b - 2:b + 3] = b"qwert"
+        data = bytes(data)
+        expected = golden.match_dense(a, data)
+        exp_count = int((expected > 0).sum())
+
+        # per-host feeding: this process loads only its own slice
+        total = sl * sm.num_devices
+        padded = np.zeros(total, dtype=np.uint8)
+        padded[:n] = np.frombuffer(data, np.uint8)
+        start, stop = multihost.host_shard_slice(total, sl)
+        arr = multihost.put_host_shards(sm, padded[start:stop], total)
+
+        matches, count = sm.match_device(arr, n)
+        count = int(count)
+        assert count == exp_count, (engine, count, exp_count)
+        # each process checks its own addressable shards of the result
+        for shard in matches.addressable_shards:
+            lo = shard.index[0].start or 0
+            local = np.asarray(shard.data)
+            hi = min(lo + local.shape[0], n)
+            if hi > lo:
+                assert np.array_equal(local[: hi - lo], expected[lo:hi]), (
+                    f"proc {proc_id} {engine} shard at {lo} mismatches"
+                )
+        print(f"[proc {proc_id}] {engine} OK: count={count}, "
+              f"{len(jax.devices())} global devices, "
+              f"{len(jax.local_devices())} local")
 
 
 def main() -> int:

@@ -229,12 +229,13 @@ def main():
 
     # production-walker align-strategy A/B (the align inside the real
     # kernel, not just align_micro's standalone form): linear scan vs
-    # select tree vs sublane gather. acc doubles as the parity check —
-    # all three modes must print the same value.
+    # select tree. (The sublane-gather arm was removed in round 5:
+    # Mosaic cannot lower axis-0 dynamic gathers on this chip at all —
+    # lowering assert + compiler INVALID_ARGUMENT, logs_r5.) acc doubles
+    # as the parity check — both modes must print the same value.
     import pfac_tpu.backends.pallas_walk as W
-    for mode in ("linear", "tree", "subgather"):
+    for mode in ("linear", "tree"):
         W.ALIGN_TREE = mode == "tree"
-        W.ALIGN_SUBGATHER = mode == "subgather"
         try:
             wfn2 = build_walker(wt, cap=CAP, sieve_tables=tables)
 
@@ -256,7 +257,6 @@ def main():
             print(f"walk rounds align={mode}: ERROR {e!r}"[:200],
                   flush=True)
     W.ALIGN_TREE = False
-    W.ALIGN_SUBGATHER = False
 
 
 if __name__ == "__main__":

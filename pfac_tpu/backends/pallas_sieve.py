@@ -76,17 +76,15 @@ SPLIT_LOOPS = False   # sieve kernel: separate m123 and alive passes over
 
 DENSE_ESCAPE_DIV = 4  # dense-block escape threshold: a grid block whose
                       # survivor count >= block_positions/DIV walks ALL its
-                      # positions in-kernel (VMEM depth-sliced tables)
-                      # instead of feeding per-survivor walker rounds.
-                      # Crossover: rounds cost ~35 ns/survivor; the
-                      # in-kernel walk costs ~0.3 ms/block at full depth
-                      # but ~5 us/block for shallow rulesets. 0 disables.
-
-_ESC_CHECK_ONLY = False   # bisect aid (experiments/escape_ab.py): arm the
-                          # dense-block check + branch but replace the walk
-                          # body with a bitmap zero — attributes the escape
-                          # cost between the check and the body's register
-                          # pressure. Never set in production.
+                      # positions through the standalone block-walk kernel
+                      # (build_block_walk) instead of feeding per-survivor
+                      # walker rounds. The decision runs in XLA from the
+                      # bitmap popcounts the compaction needs anyway, so
+                      # the hot sieve kernel carries ZERO escape code —
+                      # round 4 measured the in-kernel form costing the
+                      # kernel 35% even when never taken
+                      # (experiments/logs_r4/escape_ab.log: esc_on 8.437
+                      # vs esc_off 6.238 ms/64 MB). 0 disables.
 
 # len-1 pattern count up to which the m1 probe is a compare/select chain
 # instead of a 2-plane direct table. The kernel is ISSUE-bound (~82 cy
@@ -367,18 +365,13 @@ def _probe_slot(p: "_Probe", disp_planes, prod, interpret: bool = False):
 def _make_kernel(tables: SieveTables, grid: int,
                  tile_rows: int = TILE_ROWS, interpret: bool = False,
                  unroll: int = UNROLL, tail_split: bool = False,
-                 split_loops: bool = False, walk_tables=None):
+                 split_loops: bool = False):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
     TILE_ROWS_, SUB_ = tile_rows, tile_rows // 8
 
     m1_chain = tables.m1_chain
     sg = grid - 1                   # tail-block grid step (tail_split)
-    wt = walk_tables                # non-None => dense-block escape armed
-    n_walk = 0
-    if wt is not None:
-        from .pallas_walk import n_walk_refs
-        n_walk = n_walk_refs(wt)
 
     def kernel(n_ref, data_ref, halo_ref, *refs):
         i = 0
@@ -406,13 +399,8 @@ def _make_kernel(tables: SieveTables, grid: int,
             if not alive.nodisp:
                 al_disp = refs[i]; i += 1
             al_words = refs[i]; i += 1
-        walk_refs = None
-        if wt is not None:
-            walk_refs = refs[i: i + n_walk]; i += n_walk
         out_ref, bits_ref = refs[i], refs[i + 1]
         k4_ref = refs[i + 2]
-        if wt is not None:
-            b8_ref, st8, mt8 = refs[i + 3], refs[i + 4], refs[i + 5]
 
         g = pl.program_id(0)
         n = n_ref[0, 0]
@@ -572,87 +560,85 @@ def _make_kernel(tables: SieveTables, grid: int,
         def _():
             jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(True), bits0)
 
-        # ---- dense-block escape: when a block's survivor count is
-        # pathological (all-match corpora, reference Benchmark I:
-        # PFAC_hash_draft.pdf Table 4), per-survivor XLA walker rounds
-        # would cost ~35 ns x 64K survivors PER BLOCK. Instead walk every
-        # position of the block here against the VMEM depth-sliced
-        # tables (bytes come straight from the tile + halo — no window
-        # gathers, no compaction) and zero the block's bitmap so the XLA
-        # tail sees nothing. Cost when not taken: ~60 vector ops per
-        # block for the SWAR popcount of the bitmap.
-        if wt is not None:
-            from .pallas_walk import emit_block_walk
-
-            bb = bits_ref[:]                 # (SUB_, 128), lanes < 256
-            c1_ = bb - ((bb >> 1) & 0x55)
-            c2_ = (c1_ & 0x33) + ((c1_ >> 2) & 0x33)
-            c4_ = (c2_ + (c2_ >> 4)) & 0x0F
-            blk_cnt = jnp.sum(c4_)
-            thresh = (TILE_ROWS_ * LANES) // DENSE_ESCAPE_DIV
-            esc = blk_cnt >= thresh
-            if tail_split:
-                # the tail block's positions are the neighbor's (owned
-                # slice drops them) — never escape it; the last REAL
-                # block's lookahead lives in the tail buffer, not halo_ref
-                esc = esc & (g < sg)
-
-            if _ESC_CHECK_ONLY:
-                @pl.when(esc)
-                def _():
-                    bits_ref[:] = jnp.zeros((SUB_, LANES), jnp.int32)
-                return
-
-            @pl.when(esc)
-            def _():
-                for r in range(SUB_):
-                    b8_ref[pl.ds(r * 8, 8), :] = (
-                        data_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
-                if tail_split:
-                    @pl.when(g == sg - 1)
-                    def _():
-                        for r in range(HALO_ROWS // 8):
-                            b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
-                                tail_ref[pl.ds(r * 8, 8), :]
-                                .astype(jnp.int32))
-
-                    @pl.when(g < sg - 1)
-                    def _():
-                        for r in range(HALO_ROWS // 8):
-                            b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
-                                halo_ref[pl.ds(r * 8, 8), :]
-                                .astype(jnp.int32))
-                else:
-                    for r in range(HALO_ROWS // 8):
-                        b8_ref[pl.ds(TILE_ROWS_ + r * 8, 8), :] = (
-                            halo_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
-
-                def esc_group(rr, c):
-                    def byte(j):
-                        r0 = rr * 8 + (j >> 7)
-                        k = j & 127
-                        a = b8_ref[pl.ds(r0, 8), :]
-                        if k == 0:
-                            return a
-                        b = b8_ref[pl.ds(r0 + 1, 8), :]
-                        ra = pltpu.roll(a, LANES - k, 1)
-                        rb = pltpu.roll(b, LANES - k, 1)
-                        lanes_ = jax.lax.broadcasted_iota(
-                            jnp.int32, (8, LANES), 1)
-                        return jnp.where(lanes_ >= LANES - k, rb, ra)
-
-                    maxd = (n_loc - rr * (8 * LANES)) - base8
-                    emit_block_walk(wt, walk_refs, byte, maxd, st8, mt8,
-                                    interpret)
-                    wm = mt8[:]
-                    cur = out_ref[pl.ds(rr * 8, 8), :]
-                    out_ref[pl.ds(rr * 8, 8), :] = jnp.where(wm > 0, wm, cur)
-                    return c
-
-                jax.lax.fori_loop(0, SUB_, esc_group, jnp.int32(0))
-                bits_ref[:] = jnp.zeros((SUB_, LANES), jnp.int32)
-
     return kernel
+
+
+def build_block_walk(wt, *, tile_rows: int = TILE_ROWS,
+                     interpret: bool = False):
+    """Standalone dense-block walk kernel for the XLA-side escape.
+
+    run(walk_args, block_i32, nloc) -> int32 (tile_rows, LANES): the
+    longest length>=4 match per position of ONE kernel block, walked to
+    full depth against the VMEM depth-sliced tables. block_i32 is the
+    block's bytes + HALO_ROWS of lookahead as int32 (tile_rows +
+    HALO_ROWS, LANES) rows; nloc (scalar) = remaining input bytes from
+    the block's first position — garbage lookahead past the input end is
+    masked by depth.
+
+    This replaces the round-4 IN-kernel escape: arming the check inside
+    the hot sieve kernel cost every corpus ~35% even when never taken
+    (experiments/logs_r4/escape_ab.log: esc_on 8.437 vs esc_off 6.238
+    ms/64 MB — the SWAR popcount plus the walk body's register pressure).
+    Here the sieve kernel stays escape-free and build_pipeline dispatches
+    this kernel only over blocks whose bitmap popcount crossed the
+    density threshold — the all-match regime of reference Benchmark I
+    (PFAC/doc/PFAC_hash_draft.pdf Table 4).
+    """
+    from .pallas_walk import emit_block_walk, n_walk_refs
+
+    nw = n_walk_refs(wt)
+    sub = tile_rows // 8
+
+    def kernel(nloc_ref, bytes_ref, *refs):
+        walk_refs = refs[:nw]
+        out_ref, st8, mt8 = refs[nw], refs[nw + 1], refs[nw + 2]
+        g = pl.program_id(0)                     # row-group within block
+        nloc = nloc_ref[0, 0]
+        base8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
+                 + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1))
+        lanes_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+
+        def byte(j):
+            r0 = g * 8 + (j >> 7)
+            k = j & 127
+            a = bytes_ref[pl.ds(r0, 8), :]
+            if k == 0:
+                return a
+            b = bytes_ref[pl.ds(r0 + 1, 8), :]
+            ra = pltpu.roll(a, LANES - k, 1)
+            rb = pltpu.roll(b, LANES - k, 1)
+            return jnp.where(lanes_ >= LANES - k, rb, ra)
+
+        maxd = (nloc - g * (8 * LANES)) - base8
+        emit_block_walk(wt, walk_refs, byte, maxd, st8, mt8, interpret)
+        out_ref[:] = mt8[:]
+
+    tab_specs = [
+        pl.BlockSpec((a.shape[0], LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for a in wt.arrays
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile_rows + HALO_ROWS, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + tab_specs
+
+    def run(walk_args, block_i32, nloc):
+        nloc_arr = jnp.reshape(nloc, (1, 1)).astype(jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=(sub,),
+            out_shape=jax.ShapeDtypeStruct((tile_rows, LANES), jnp.int32),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32),   # state
+                            pltpu.VMEM((8, LANES), jnp.int32)],  # match
+            interpret=interpret,
+        )(nloc_arr, block_i32, *walk_args)
+
+    return run
 
 
 # --------------------------------------------------------------------------
@@ -856,31 +842,31 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
     grid = npad // (tile_rows * LANES)
     if split_loops is None:
         split_loops = SPLIT_LOOPS
-    # dense-block escape: armed for the walker tier on both layouts (the
-    # sharded tail-split form stages its last real block's lookahead from
-    # the tail buffer and never escapes the tail block itself). The
-    # in-kernel byte(j) lookahead reads at most HALO_ROWS*LANES bytes
-    # past a row-group, so the escape must not arm for deeper rulesets —
-    # today the VMEM walk-table budget keeps max_len far below this, but
-    # the gate must not rest on that unrelated constant (review finding).
+    # dense-block escape: XLA-SIDE for the walker tier on both layouts
+    # (the hot kernel carries zero escape code — round 4 measured the
+    # in-kernel form costing 35% even when never taken, escape_ab.log).
+    # The block-walk kernel's byte(j) lookahead reads at most
+    # HALO_ROWS*LANES bytes past a row-group, so the escape must not arm
+    # for deeper rulesets — today the VMEM walk-table budget keeps
+    # max_len far below this, but the gate must not rest on that
+    # unrelated constant (review finding).
     esc_ok = (walk_tables is not None
-              and walk_tables.max_len + 4 <= HALO_ROWS * LANES)
-    esc_wt = (walk_tables if (esc_ok
-                              and DENSE_ESCAPE_DIV > 0
-                              and tables.alive is not None) else None)
+              and DENSE_ESCAPE_DIV > 0
+              and tables.alive is not None
+              and walk_tables.max_len + 4 <= HALO_ROWS * LANES
+              and not kernel_only)
+    block_walk = (build_block_walk(walk_tables, tile_rows=tile_rows,
+                                   interpret=interpret) if esc_ok else None)
     kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,
-                          tail_split, split_loops, walk_tables=esc_wt)
+                          tail_split, split_loops)
     sub = tile_rows // 8
     a = automaton
     has_alive = tables.alive is not None
-    table_shapes = [t.shape for t in tables.arrays]
-    if esc_wt is not None:
-        table_shapes = table_shapes + [t.shape for t in esc_wt.arrays]
 
     tab_specs = [
-        pl.BlockSpec((shape[0], LANES), lambda i: (0, 0),
+        pl.BlockSpec((t.shape[0], LANES), lambda i: (0, 0),
                      memory_space=pltpu.VMEM)
-        for shape in table_shapes
+        for t in tables.arrays
     ]
     hb = tile_rows // HALO_ROWS
     if tail_split:
@@ -955,32 +941,78 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             padded = jnp.zeros(rows_u8 * LANES, jnp.uint8)
             padded = jax.lax.dynamic_update_slice(padded, data_u8, (0,))
             data2d = padded.reshape(rows_u8, LANES)
-        esc_args = []
-        if esc_wt is not None:
-            esc_args = list(walk_args[:len(esc_wt.arrays)])
-        scratch = [pltpu.VMEM((tile_rows, LANES), jnp.int32)]
-        if esc_wt is not None:
-            scratch += [pltpu.VMEM((tile_rows + HALO_ROWS, LANES), jnp.int32),
-                        pltpu.VMEM((8, LANES), jnp.int32),
-                        pltpu.VMEM((8, LANES), jnp.int32)]
         out, bits = pl.pallas_call(
             kernel,
             grid=(grid,),
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=scratch,
+            scratch_shapes=[pltpu.VMEM((tile_rows, LANES), jnp.int32)],
             interpret=interpret,
-        )(n_smem, data2d, data2d, *extra, *sieve_args, *esc_args)
-        matches = out.reshape(-1)
+        )(n_smem, data2d, data2d, *extra, *sieve_args)
         if kernel_only:
-            return matches, bits
+            return out.reshape(-1), bits
         # survivor windows source: the sharded no-concat layout reads
         # boundary-straddling windows from (main, tail) via a dual gather
         win_src = (data2d, tail2d) if tail_split else data2d
         if not has_alive:
-            return matches, jnp.int32(0), jnp.int32(0)
-        bcum = _prefix_1d(jax.lax.population_count(bits).sum(axis=1))
+            return out.reshape(-1), jnp.int32(0), jnp.int32(0)
+        rowcnt = jax.lax.population_count(bits).sum(axis=1)  # (grid*sub,)
+
+        if esc_ok:
+            # ---- dense-block escape (XLA side): blocks whose survivor
+            # count crossed block_positions/DENSE_ESCAPE_DIV would cost
+            # ~35 ns x up to 64K survivors EACH through the per-survivor
+            # walker rounds; instead each dense block walks ALL its
+            # positions through the standalone block-walk kernel (no
+            # window gathers, no compaction) and its rows are dropped
+            # from the survivor counts. The while_loop runs ZERO
+            # iterations — and costs only this popcount reduce, already
+            # needed for compaction — on every non-pathological corpus.
+            blkcnt = rowcnt.reshape(grid, sub).sum(axis=1)       # (grid,)
+            thresh = (tile_rows * LANES) // DENSE_ESCAPE_DIV
+            esc_flags = blkcnt >= thresh
+            if tail_split:
+                # the tail block's positions belong to the neighbor (the
+                # owned slice drops them) — never escape it
+                esc_flags = esc_flags & (
+                    jnp.arange(grid, dtype=jnp.int32) < grid - 1)
+            blk_ids, n_esc = _rank_select(esc_flags, min(grid, 1 << 15))
+            n_scalar = n_arr[0]
+            brows = tile_rows + HALO_ROWS
+            riota = jnp.arange(brows, dtype=jnp.int32)
+
+            def esc_body(s):
+                i, res2d, rcnt = s
+                b = blk_ids[i]
+                rr = b * tile_rows + riota
+                if tail_split:
+                    nm = (grid - 1) * tile_rows
+                    pm = jnp.take(data2d, jnp.minimum(rr, nm - 1), axis=0)
+                    pt = jnp.take(tail2d,
+                                  jnp.clip(rr - nm, 0,
+                                           tail2d.shape[0] - 1), axis=0)
+                    blk_u8 = jnp.where((rr < nm)[:, None], pm, pt)
+                else:
+                    blk_u8 = jnp.take(
+                        data2d, jnp.minimum(rr, data2d.shape[0] - 1),
+                        axis=0)
+                nloc = n_scalar - b * (tile_rows * LANES)
+                wm = block_walk(walk_args, blk_u8.astype(jnp.int32), nloc)
+                cur = jax.lax.dynamic_slice(
+                    res2d, (b * tile_rows, 0), (tile_rows, LANES))
+                res2d = jax.lax.dynamic_update_slice(
+                    res2d, jnp.where(wm > 0, wm, cur), (b * tile_rows, 0))
+                rcnt = jax.lax.dynamic_update_slice(
+                    rcnt, jnp.zeros(sub, jnp.int32), (b * sub,))
+                return i + 1, res2d, rcnt
+
+            _, out, rowcnt = jax.lax.while_loop(
+                lambda s: s[0] < n_esc, esc_body,
+                (jnp.int32(0), out, rowcnt))
+
+        matches = out.reshape(-1)
+        bcum = _prefix_1d(rowcnt)
         count = bcum[-1].astype(jnp.int32)
 
         if wt is not None:

@@ -81,17 +81,12 @@ ALIGN_TREE = False          # window alignment as a select TREE over wv's
                             # pressure risk; A/B on chip
                             # (experiments/align_micro.py)
 
-ALIGN_SUBGATHER = False     # window alignment as ONE sublane (axis-0)
-                            # take_along_axis per word over the raw block
-                            # loaded as a value: idx[s,l] = (wv[l]+w)*8+s.
-                            # Replaces the whole 32-row select chain with a
-                            # single gather per word IF Mosaic's axis-0
-                            # dynamic gather over tall VMEM values is cheap
-                            # (unknown: CLAUDE.md's measured gather facts
-                            # cover lane gathers only); A/B on chip
-                            # (align_micro standalone + round_profile
-                            # production form). Takes precedence over
-                            # ALIGN_TREE when both are set.
+# (Removed round 5) ALIGN_SUBGATHER: the sublane (axis-0) take_along_axis
+# alignment is UNIMPLEMENTABLE on this chip — Mosaic's gather lowering
+# asserts indices.shape == input.shape + (1,) (no (8,128) indices into a
+# tall block), and the equal-shape axis-0 form fails in the compiler with
+# INVALID_ARGUMENT (r5 capture, experiments/logs_r5/axis0_gather_probe).
+# Lane (axis-1) gathers remain the only dynamic gather shape.
 
 
 # --------------------------------------------------------------------------
@@ -119,6 +114,13 @@ class WProbe:
         keys = np.asarray(keys, dtype=np.uint32)
         vals = np.asarray(vals, dtype=np.uint32)
         assert keys.size > 0 and vals.max() < (1 << 16)
+        # canonical key order: the CHD fill of EMPTY slots is keys[0]
+        # (member-key trick), so table bytes depend on input order —
+        # callers that iterate sets/dicts would otherwise build tables
+        # that differ per PYTHONHASHSEED, breaking the multi-process
+        # replicated-table contract (caught by multihost_smoke r5)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
         built = (chd.build_exact_wide2_nodisp(keys, vals)
                  if keys.size <= 64 else None)
         t, kw = built if built is not None else chd.build_exact_wide2(keys, vals)
@@ -391,20 +393,8 @@ def _make_walk_kernel(tables: WalkTables, w_raw: int, w_out: int,
         # the rows it actually reaches, so vregs whose lanes all die
         # shallow never pay for the deep window
         aligned = [0]
-        raw_val = [None]    # ALIGN_SUBGATHER: raw block loaded once
 
         def ensure(w_hi):
-            if ALIGN_SUBGATHER:
-                if raw_val[0] is None:
-                    raw_val[0] = raw_ref[:]
-                srow_al = jax.lax.broadcasted_iota(
-                    jnp.int32, (8, LANES), 0)
-                for w in range(aligned[0], min(w_hi, w_out)):
-                    idx = (wv + w) * 8 + srow_al
-                    win[w * 8:(w + 1) * 8, :] = jnp.take_along_axis(
-                        raw_val[0], idx, axis=0)
-                aligned[0] = max(aligned[0], min(w_hi, w_out))
-                return
             for w in range(aligned[0], min(w_hi, w_out)):
                 if ALIGN_TREE:
                     rows = [raw_ref[(w + s) * 8:(w + s + 1) * 8, :]

@@ -343,8 +343,13 @@ class XlaMatcher:
         return np.asarray(out)[:n]
 
     def match_reduce_device(self, data_u8: jax.Array):
+        # rowgather is the only device reduce that is CORRECT on TPU:
+        # _reduce_scatter_max mis-lowers duplicate sorted scatter indices
+        # there (r4 capture, experiments/logs_r4/reduce_micro.log) and is
+        # quarantined behind pallas_sieve.REDUCE_SCATTER_MAX as an A/B
+        # arm only
         m = self.match_device(data_u8)
-        return _reduce_scatter_max(m)
+        return _reduce_rowgather(m)
 
     def match_reduce(self, data) -> tuple[np.ndarray, np.ndarray, int]:
         return host_reduce(self.match(data))
@@ -359,9 +364,19 @@ def _lane_prefix(x2d: jax.Array) -> jax.Array:
     """Inclusive prefix sum along the 128-lane minor axis, as ONE MXU
     matmul against a triangular ones matrix. XLA's cumsum along the
     minor axis lowers to a reduce-window on TPU (~1-2 ms per 64K rows);
-    the matmul is ~0.05 ms. Returns f32 (exact for sums < 2^24)."""
+    the matmul is ~0.05 ms. Returns f32 (exact for sums < 2^24).
+
+    precision=HIGHEST is LOAD-BEARING: the TPU MXU's default f32 dot
+    rounds the INPUTS to bf16 (8 mantissa bits), so any integer input
+    > 256 with low bits set (e.g. a 1023-survivor row count) rounds to a
+    multiple of 8 and the prefix is silently off by a few units — caught
+    round 5 as a 1-survivor undercount on a 64 MB all-match corpus
+    (experiments/logs_r5/escape_ab.log parity arm). HIGHEST lowers to
+    the exact multi-pass form; the matrix is 128x128, so the extra
+    passes are noise."""
     return jnp.dot(x2d.astype(jnp.float32), jnp.asarray(_prefix_mat()),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 _PREFIX_1D_LEAF = 1 << 14

@@ -135,7 +135,10 @@ def build_csr_tables(automaton: Automaton) -> CsrTables | None:
         per: dict[int, list[tuple[int, int, int]]] = {}
         # finals at depths d+1..d+4
         for k in range(1, 5):
-            for q in {p[:d + k] for p in long_pats if len(p) == d + k}:
+            # sorted: set iteration order follows PYTHONHASHSEED, and row
+            # entry order must be byte-identical across processes for the
+            # replicated-table contract (multihost_smoke r5)
+            for q in sorted({p[:d + k] for p in long_pats if len(p) == d + k}):
                 pid = final_of.get(q)
                 if not pid:
                     continue

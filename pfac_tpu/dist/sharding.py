@@ -260,13 +260,17 @@ class ShardedMatcher:
             # dynamic_slice form only cost XLA the chance to fold the
             # slice into the producing scatter's layout
             owned = result[:shard_len]
-            return owned, ovf.reshape(1)
+            # the overflow flag reduces to a REPLICATED global: every
+            # process sees the same bit (a sharded flag is not
+            # addressable cross-process — multihost_smoke r5), and all
+            # processes take the fallback branch in lockstep
+            return owned, jax.lax.psum(ovf, AXIS).reshape(1)
 
         fn = jax.shard_map(
             local_match,
             mesh=self.mesh,
             in_specs=(P(), P(), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P()),
             # pallas_call out_shapes carry no varying-mesh-axes annotation
             check_vma=False,
         )
@@ -365,14 +369,17 @@ class ShardedMatcher:
 
         The count is a separate on-demand dispatch on the sieve engine
         (want_count=True) so the hot match path never pays the extra
-        full-result pass + psum (VERDICT r3 #8)."""
+        full-result pass + psum (VERDICT r3 #8). The heavy-stage
+        overflow flag (replicated via psum) is checked with ONE scalar
+        fetch; on overflow (very deep AND dense corpus beyond every
+        stage capacity) the XLA lockstep walker recomputes — every
+        process takes the branch in lockstep because the flag is
+        global."""
         fn, _ = self._fn_for(n)
         if self.engine == "sieve":
             f, cfn = fn
-            matches, ovfs = f(self._tables, self._dense_flat, data_dev)
-            if any(int(o) for o in jax.device_get(ovfs)):
-                # heavy-stage capacity exhausted on some shard (very deep
-                # AND dense): the lockstep walker is the correct fallback
+            matches, ovf = f(self._tables, self._dense_flat, data_dev)
+            if int(jax.device_get(ovf)[0]):
                 return self._xla_fallback_fn(n)(data_dev)
             return matches, (cfn(matches) if want_count else None)
         return fn(self._tables, self._pair_state, self._pair_match,

@@ -147,6 +147,23 @@ def main(argv=None) -> int:
                 and np.array_equal(ids[:cnt], gi)):
             print(f"REDUCE MISMATCH case={case} seed={args.seed}")
             return 1
+        if not heavy and not wide and len(data) < 500_000 and case % 4 == 2:
+            # DEVICE-side reduce on BOTH engines: round 4 shipped a
+            # wrong-on-TPU scatter-max on XlaMatcher.match_reduce_device
+            # (duplicate sorted scatter indices mis-lower); keep the
+            # compiled path covered on every engine tier
+            from ..backends.xla import XlaMatcher
+            d_dev = jax.device_put(np.frombuffer(data, np.uint8))
+            for eng in (m._engine(), XlaMatcher(a, perf_mode="dense")):
+                rd = eng.match_reduce_device(d_dev)
+                di, dp, dc = (np.asarray(x) for x in rd)
+                dc = int(dc)
+                if not (dc == gc and np.array_equal(dp[:dc], gp)
+                        and np.array_equal(di[:dc], gi)):
+                    print(f"REDUCE-DEVICE MISMATCH case={case} "
+                          f"engine={type(eng).__name__} seed={args.seed} "
+                          f"count={dc} expected={gc}")
+                    return 1
         if args.sharded:
             from ..dist.sharding import ShardedMatcher
             sm = ShardedMatcher(a)

@@ -206,24 +206,3 @@ class TestAlignTreeVariant:
                 for _ in range(8)]
         data = bytes(alpha[rng.integers(0, 3, size=300)])
         TestWalkKernel()._run(pats, data)
-
-
-class TestAlignSubgatherVariant:
-    def test_align_subgather_parity(self, monkeypatch):
-        # the sublane-gather window alignment must match the linear scan
-        # at every (wv, ob) alignment class, including row straddles
-        monkeypatch.setattr(W, "ALIGN_SUBGATHER", True)
-        pat = b"HELLOWORLD!!"
-        data = bytearray(400)
-        for off in (0, 1, 3, 60, 63, 64, 65, 127, 128, 200, 255, 256):
-            data[off:off + len(pat)] = pat
-        TestWalkKernel()._run([pat, b"HELL"], bytes(data))
-
-    def test_align_subgather_random(self, monkeypatch):
-        monkeypatch.setattr(W, "ALIGN_SUBGATHER", True)
-        rng = np.random.default_rng(78)
-        alpha = rng.integers(0, 256, size=3).astype(np.uint8)
-        pats = [bytes(alpha[rng.integers(0, 3, size=int(rng.integers(4, 12)))])
-                for _ in range(8)]
-        data = bytes(alpha[rng.integers(0, 3, size=300)])
-        TestWalkKernel()._run(pats, data)
