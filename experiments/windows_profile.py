@@ -91,9 +91,24 @@ def main():
         raw = jax.lax.bitcast_convert_type(t, jnp.int32)
         return raw.reshape(g * W_RAW * 8, 128)
 
+    @jax.jit
+    def v_bitcast_first(d2, p):
+        # round-5 variant: bitcast BEFORE the transpose — the gathered
+        # (cap, 4*W_RAW) u8 rows are already little-endian word bytes, so
+        # (cap, W_RAW, 4) u8 -> (cap, W_RAW) i32 is a pure bitcast; the
+        # relayout is then a plain 3-D i32 transpose with 128-lane minor
+        # dim, a shape XLA moves at memcpy speed (the 5-D u8 form's
+        # inner dim of 4 defeats its tiling)
+        b = jnp.concatenate(takes(d2, p), axis=1)       # (cap, 384) u8
+        w = jax.lax.bitcast_convert_type(
+            b.reshape(CAP, W_RAW, 4), jnp.int32)        # (cap, W_RAW) i32
+        return (w.reshape(g, 8, 128, W_RAW)
+                .transpose(0, 3, 1, 2).reshape(g * W_RAW * 8, 128))
+
     for name, f in (("takes", v_takes), ("(+)wordify", v_wordify),
                     ("(+)transpose", v_full), ("u8-transpose-first", v_u8first),
-                    ("u8-bitcast", v_u8bitcast)):
+                    ("u8-bitcast", v_u8bitcast),
+                    ("bitcast-first", v_bitcast_first)):
         print(f"compiling {name}...", flush=True)
         t = timeit(f, data2d, pos)
         print(f"{name:20s}: {t*1e3:7.2f} ms", flush=True)
@@ -104,6 +119,8 @@ def main():
     print("u8-first parity:", np.array_equal(a, bwv))
     bc = np.asarray(v_u8bitcast(data2d, pos))
     print("u8-bitcast parity:", np.array_equal(a, bc))
+    bf = np.asarray(v_bitcast_first(data2d, pos))
+    print("bitcast-first parity:", np.array_equal(a, bf))
 
 
 if __name__ == "__main__":

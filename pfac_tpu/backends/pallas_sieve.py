@@ -70,6 +70,28 @@ _I32 = lambda x: jnp.int32(np.int32(np.uint32(x)))
 # outweigh the extra ~2^-8 false survivors' walk cost
 _RESID8_THRESHOLD = 8192
 
+# alive-key count at/below which the filter is the ONE-gather-level
+# bucket-fingerprint structure (chd.build_bucket2: fp16 pairs per bucket
+# word + a small independent overflow CHD) instead of the two-level
+# fused CHD. The CHD's word gather DEPENDS on its displacement gather —
+# the kernel's latency sink (64% of kernel time, MEASUREMENTS.md
+# probe-family split r4); bucket2 scans ~2x the planes but has no
+# dependent gather. 0 disables (pending the r5 on-chip capture,
+# experiments/alive_ab.py).
+ALIVE_BUCKET2_MAX = 0
+ALIVE_B2_LGM_DELTA = 0   # bucket-count scale: 0 -> pow2(n) buckets
+                         # (λ<=1, ~8% overflow keys); -1 halves the main
+                         # plane scan at ~4x the overflow table
+
+# alive-key count beyond which the sieve builds NO in-kernel alive
+# filter at all: a 100K-key resid8 scan is ~320 VMEM planes per probe
+# (~960 of the kernel's ops), the r4 big-ruleset regime's dominant cost.
+# Past this the big tier filters positions with ONE XLA row gather
+# against the CSR keys-only entry-prefix table (xla_csr.
+# entry_filter_bits, ~40 G elem/s) — exact on the 4-byte prefix, so
+# survivors are true prefix hits rather than resid8's ~2^-8 noise.
+_ALIVE_CHD_MAX = 1 << 16
+
 SPLIT_LOOPS = False   # sieve kernel: separate m123 and alive passes over
                       # the staged k4 tile (smaller live sets per loop)
                       # vs the fused single pass — A/B on chip
@@ -140,6 +162,9 @@ class _Probe:
     disp_u8: bool = False      # displacements packed 4/word instead of 2
     nodisp: bool = False       # slot = top bits of the product, no disp
     resid_bits: int = 16       # residual width (alive filter only)
+    bucket2: bool = False      # bucket-fingerprint form: words hold two
+                               # fp16 per bucket, slot = top lg_r bits of
+                               # the product, no disp (alive filter only)
 
     @classmethod
     def from_chd(cls, t: chd.ChdTable, key_words: np.ndarray | None = None):
@@ -184,9 +209,12 @@ class SieveTables:
     m1_chain: tuple | None     # ((byte, id), ...) compare-chain for tiny sets
     m2: _Probe | None          # exact16 on LE key (c1<<8|c0)
     m3: _Probe | None          # wide exact on LE key (c2<<16|c1<<8|c0)
-    alive: _Probe | None       # resid16 on LE key (c3<<24|..|c0)
+    alive: _Probe | None       # resid16 on LE key (c3<<24|..|c0), or the
+                               # bucket-fingerprint form (bucket2=True)
     vmem_bytes: int
     m1_packed: bool = False    # m1 values u16-packed 2 per word (1 plane)
+    alive_ovf: _Probe | None = None   # bucket2 overflow keys: resid16 CHD
+                               # probed in parallel with the main word
 
     @classmethod
     def build(cls, automaton: Automaton) -> "SieveTables":
@@ -254,30 +282,47 @@ class SieveTables:
             m3 = _Probe.from_chd(t, kw)
 
         alive = None
-        if alive_keys:
+        alive_ovf = None
+        if alive_keys and len(alive_keys) > _ALIVE_CHD_MAX:
+            pass    # big tier: the XLA entry filter serves instead
+                    # (xla_csr.entry_filter_bits; see _ALIVE_CHD_MAX)
+        elif alive_keys:
             ks = np.array(sorted(alive_keys), dtype=np.int64).astype(np.uint32)
-            # large key sets: 8-bit residuals halve the probe's plane scan
-            # (the dominant kernel cost, ~0.6 ms/plane/128 MB); the extra
-            # ~2^-8 false survivors die at the walker's exact entry probe
-            bits = 8 if len(ks) > _RESID8_THRESHOLD else 16
-            alive = _Probe.from_chd(chd.build_resid2(ks, bits=bits))
-            alive.resid_bits = bits
+            if len(ks) <= ALIVE_BUCKET2_MAX:
+                # one-gather-level bucket-fingerprint filter: no dependent
+                # gather on the kernel's critical path (the CHD form's
+                # disp->word chain is the latency sink, 64% of the kernel)
+                b2 = chd.build_bucket2(ks, lg_m_delta=ALIVE_B2_LGM_DELTA)
+                alive = _Probe(disp=None, words=_expand_planes(b2.words),
+                               keyw=None, lg_b=0, lg_r=b2.lg_m,
+                               slot_mul=b2.mul, nodisp=True, bucket2=True)
+                if b2.overflow is not None:
+                    alive_ovf = _Probe.from_chd(b2.overflow)
+            else:
+                # large key sets: 8-bit residuals halve the probe's plane
+                # scan (the dominant kernel cost, ~0.6 ms/plane/128 MB);
+                # the extra ~2^-8 false survivors die at the walker's
+                # exact entry probe
+                bits = 8 if len(ks) > _RESID8_THRESHOLD else 16
+                alive = _Probe.from_chd(chd.build_resid2(ks, bits=bits))
+                alive.resid_bits = bits
 
         vmem = 0
         if m1 is not None:
             vmem += m1.size * 4
-        for p in (m2, m3, alive):
+        for p in (m2, m3, alive, alive_ovf):
             if p is not None:
                 vmem += sum(a.size for a in p.arrays) * 4
         return cls(m1=m1, m1_chain=m1_chain, m2=m2, m3=m3, alive=alive,
-                   vmem_bytes=vmem, m1_packed=m1_packed)
+                   vmem_bytes=vmem, m1_packed=m1_packed,
+                   alive_ovf=alive_ovf)
 
     @property
     def arrays(self) -> list[np.ndarray]:
         out = []
         if self.m1 is not None:
             out.append(self.m1)
-        for p in (self.m2, self.m3, self.alive):
+        for p in (self.m2, self.m3, self.alive, self.alive_ovf):
             if p is not None:
                 out.extend(p.arrays)
         return out
@@ -368,6 +413,7 @@ def _make_kernel(tables: SieveTables, grid: int,
                  split_loops: bool = False):
     has_m1 = tables.m1 is not None
     m2, m3, alive = tables.m2, tables.m3, tables.alive
+    alive_ovf = tables.alive_ovf
     TILE_ROWS_, SUB_ = tile_rows, tile_rows // 8
 
     m1_chain = tables.m1_chain
@@ -399,6 +445,11 @@ def _make_kernel(tables: SieveTables, grid: int,
             if not alive.nodisp:
                 al_disp = refs[i]; i += 1
             al_words = refs[i]; i += 1
+        if alive_ovf is not None:
+            ao_disp = None
+            if not alive_ovf.nodisp:
+                ao_disp = refs[i]; i += 1
+            ao_words = refs[i]; i += 1
         out_ref, bits_ref = refs[i], refs[i + 1]
         k4_ref = refs[i + 2]
 
@@ -524,13 +575,31 @@ def _make_kernel(tables: SieveTables, grid: int,
 
         def _alive_bits(k4s, dm, bits_acc, srow_sel):
             prod = k4s * _I32(alive.slot_mul)
-            slot = _probe_slot(alive, al_disp, prod, interpret)
-            # stored residual = the product's low resid_bits
-            if alive.resid_bits == 16:
+            if alive.bucket2:
+                # one-gather-level bucket-fingerprint probe: bucket = top
+                # lg_r product bits, word = two fp16; the small overflow
+                # CHD is an INDEPENDENT chain — its latency hides under
+                # the main gather
+                bkt = (prod >> (32 - alive.lg_r)) & ((1 << alive.lg_r) - 1)
+                w = _lookup(al_words, bkt, interpret)
+                fp = prod & 0xFFFF
+                hit = ((w & 0xFFFF) == fp) | (((w >> 16) & 0xFFFF) == fp)
+                if alive_ovf is not None:
+                    prod2 = k4s * _I32(alive_ovf.slot_mul)
+                    slot2 = _probe_slot(alive_ovf, ao_disp, prod2,
+                                        interpret)
+                    w2 = _lookup(ao_words, slot2 >> 1, interpret)
+                    r16 = jnp.where((slot2 & 1) == 1, w2 >> 16, w2) & 0xFFFF
+                    hit = hit | (r16 == (prod2 & 0xFFFF))
+                a = dm(hit, 3)
+            elif alive.resid_bits == 16:
+                # stored residual = the product's low resid_bits
+                slot = _probe_slot(alive, al_disp, prod, interpret)
                 w = _lookup(al_words, slot >> 1, interpret)
                 r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
                 a = dm(r16 == (prod & 0xFFFF), 3)
             else:                   # 8-bit, packed 4/word
+                slot = _probe_slot(alive, al_disp, prod, interpret)
                 w = _lookup(al_words, slot >> 2, interpret)
                 lo = jnp.where((slot & 1) == 1, w >> 8, w)
                 r8 = jnp.where((slot & 2) == 2, lo >> 16, lo) & 0xFF
@@ -955,8 +1024,24 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
         # survivor windows source: the sharded no-concat layout reads
         # boundary-straddling windows from (main, tail) via a dual gather
         win_src = (data2d, tail2d) if tail_split else data2d
-        if not has_alive:
+        if not has_alive and csr_tables is None:
             return out.reshape(-1), jnp.int32(0), jnp.int32(0)
+        if not has_alive:
+            # big tier (alive keys past _ALIVE_CHD_MAX): the kernel emits
+            # zero bits; survivors come from ONE XLA row gather against
+            # the CSR keys-only table — exact 4-byte-prefix membership
+            from .xla_csr import entry_filter_bits
+            if tail_split:
+                flat = jnp.concatenate([data2d.reshape(-1),
+                                        tail2d.reshape(-1)])
+            else:
+                flat = data2d.reshape(-1)
+                if int(flat.shape[0]) < npad + 3:
+                    flat = jnp.concatenate(
+                        [flat, jnp.zeros(npad + 3 - int(flat.shape[0]),
+                                         jnp.uint8)])
+            bits = entry_filter_bits(csr_tables, walk_args[-1], flat,
+                                     npad, n_arr[0])
         rowcnt = jax.lax.population_count(bits).sum(axis=1)  # (grid*sub,)
 
         if esc_ok:
@@ -1306,8 +1391,11 @@ class SieveMatcher:
         self.walk_tables = build_walk_tables_gated(
             automaton, self.tables)
         self.csr_tables = None
-        if self.walk_tables is None and self.tables.alive is not None:
+        if self.walk_tables is None:
             # big/wide ruleset: the CSR row-gather walker serves the tail
+            # (returns None when there are no length>=4 patterns; the
+            # big tier — alive keys past _ALIVE_CHD_MAX, tables.alive is
+            # None — also draws its XLA entry filter from these tables)
             from .xla_csr import build_csr_tables
             self.csr_tables = build_csr_tables(automaton)
         deep = (self.walk_tables.arrays if self.walk_tables is not None

@@ -347,12 +347,13 @@ _EXIT_BLOCK = 4            # steps per early-exit check (8 bytes of depth)
 def _n_m123_refs(sieve_tables) -> int:
     """How many of the sieve's table arrays the walker consumes when it
     computes depth-1..3 matches itself (everything except the alive
-    filter's arrays)."""
+    filter's arrays, incl. the bucket2 overflow table's)."""
     if sieve_tables is None:
         return 0
     n = len(sieve_tables.arrays)
-    if sieve_tables.alive is not None:
-        n -= len(sieve_tables.alive.arrays)
+    for p in (sieve_tables.alive, getattr(sieve_tables, "alive_ovf", None)):
+        if p is not None:
+            n -= len(p.arrays)
     return n
 
 

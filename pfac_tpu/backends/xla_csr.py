@@ -63,6 +63,9 @@ class CsrStep:
     chain: int                  # max continuation-chain length (extra gathers)
 
 
+FK_W = 4                        # keys per filter row (keys-only table)
+
+
 @dataclasses.dataclass
 class CsrTables:
     entry_rows: np.ndarray      # int32 (B, 3*E): triples (key4, 1<<28|idx, pid)
@@ -71,10 +74,23 @@ class CsrTables:
     steps: list[CsrStep]
     max_len: int
     hbm_bytes: int
+    # keys-only filter rows (round 5): the big-tier pipeline's alive
+    # filter is ONE XLA row gather against this low-load table (FK_W
+    # exact key compares per position) instead of a several-hundred-
+    # plane in-kernel VMEM scan (~70+ ms/64 MB at 100K keys). Buckets
+    # holding more than FK_W keys (vanishingly rare at load 1/4) are
+    # recorded in fkeys_ovf and treated as always-hit (a false positive
+    # dies in the exact walker).
+    fkeys: np.ndarray | None = None     # int32 (BF, FK_W)
+    fkeys_lgb: int = 0
+    fkeys_ovf: tuple = ()
 
     @property
     def arrays(self) -> list[np.ndarray]:
-        return [self.entry_rows] + [s.rows for s in self.steps]
+        out = [self.entry_rows] + [s.rows for s in self.steps]
+        if self.fkeys is not None:
+            out.append(self.fkeys)
+        return out
 
 
 def build_csr_tables(automaton: Automaton) -> CsrTables | None:
@@ -190,8 +206,26 @@ def build_csr_tables(automaton: Automaton) -> CsrTables | None:
                              chain=chain_max))
         d += 4
 
+    # ---- keys-only filter table (see CsrTables.fkeys)
+    f_lgb = max(3, int(np.ceil(np.log2(max(1, n4) * 4))))
+    bf = 1 << f_lgb
+    keys4 = sorted(int.from_bytes(q, "big") for q in e4)
+    fill = np.uint32(keys4[0])       # member-key fill: empty slots can
+    fkeys = np.full((bf, FK_W), fill, np.uint32)    # only FP on a real prefix
+    occ = np.zeros(bf, np.int32)
+    ovf: list[int] = []
+    for k in keys4:
+        bk = ((k * ENTRY_MUL) & 0xFFFFFFFF) >> (32 - f_lgb)
+        if occ[bk] < FK_W:
+            fkeys[bk, occ[bk]] = np.uint32(k)
+            occ[bk] += 1
+        elif bk not in ovf:
+            ovf.append(bk)           # always-hit bucket (rare; FP only)
+
     t = CsrTables(entry_rows=entry_rows, entry_lgb=lgb, entry_width=e_width,
-                  steps=steps, max_len=max_len, hbm_bytes=0)
+                  steps=steps, max_len=max_len, hbm_bytes=0,
+                  fkeys=fkeys.view(np.int32), fkeys_lgb=f_lgb,
+                  fkeys_ovf=tuple(ovf))
     t.hbm_bytes = sum(x.size for x in t.arrays) * 4
     return t
 
@@ -251,6 +285,45 @@ def csr_oracle_walk(t: CsrTables, data: bytes, pos: int, n: int) -> int:
             match = best_pid
         state = nxt
     return match
+
+
+# --------------------------------------------------------------------------
+# big-tier alive filter: one XLA row gather over the keys-only table
+# --------------------------------------------------------------------------
+
+def entry_filter_bits(t: CsrTables, fkeys_dev, flat_u8_ext, npad: int,
+                      n_scalar):
+    """Per-position 4-byte-prefix membership, packed as the sieve
+    kernel's (npad//1024, 128) bitmap layout (bit s of lane j = position
+    group*1024 + s*128 + j).
+
+    The big tier (alive-key count past pallas_sieve._ALIVE_CHD_MAX) has
+    no in-kernel alive filter — a 100K-key resid8 scan costs ~320 VMEM
+    planes per probe. Here each position's big-endian key4 row-gathers
+    FK_W candidate keys (~40 G elem/s on this chip) and compares exactly;
+    empty slots hold a member key and overflow buckets always hit, so
+    false positives exist (they die in the exact CSR walker) but false
+    negatives cannot. flat_u8_ext must expose at least npad+3 bytes."""
+    ext = flat_u8_ext.astype(jnp.int32)
+    c0 = jax.lax.slice(ext, (0,), (npad,))
+    c1 = jax.lax.slice(ext, (1,), (npad + 1,))
+    c2 = jax.lax.slice(ext, (2,), (npad + 2,))
+    c3 = jax.lax.slice(ext, (3,), (npad + 3,))
+    k4 = (c0 << 24) | (c1 << 16) | (c2 << 8) | c3
+    prod = k4 * jnp.int32(np.int32(np.uint32(ENTRY_MUL)))
+    bk = jax.lax.shift_right_logical(prod, 32 - t.fkeys_lgb)
+    rows = jnp.take(fkeys_dev, bk, axis=0)           # (npad, FK_W) rows
+    hit = rows[:, 0] == k4
+    for j in range(1, rows.shape[1]):
+        hit = hit | (rows[:, j] == k4)
+    for ob in t.fkeys_ovf:
+        hit = hit | (bk == ob)
+    pos_ok = jnp.arange(npad, dtype=jnp.int32) <= (n_scalar - 4)
+    h3 = (hit & pos_ok).astype(jnp.int32).reshape(-1, 8, 128)
+    bits = h3[:, 0, :]
+    for s in range(1, 8):
+        bits = bits | (h3[:, s, :] << s)
+    return bits
 
 
 # --------------------------------------------------------------------------
@@ -380,7 +453,7 @@ def build_csr_walker(t: CsrTables, *, cap: int, interpret: bool = False):
 
     def run(csr_args, data2d_u8, pos, n_arr):
         entry_rows = csr_args[0]
-        step_rows = list(csr_args[1:])
+        step_rows = list(csr_args[1:1 + len(t.steps)])   # fkeys rides last
         n = n_arr[0]
 
         def walk(steps_sub, rows_by_step, state, match, byte, maxd,

@@ -375,6 +375,91 @@ def lookup_resid2(t: ChdTable, key: int) -> bool:
     return stored == (resid & ((1 << bits) - 1))
 
 
+# ---------------------------------------------------------------------------
+# Bucket-fingerprint filter (round 5): ONE gather level for the sieve's
+# alive filter. Each bucket is a single int32 word holding TWO 16-bit
+# fingerprints (low bits of the same key*mul product that picks the
+# bucket); keys landing third-or-later in a bucket overflow into a small
+# fused CHD residual table probed IN PARALLEL (independent chain — its
+# latency hides under the main probe's). No false negatives; false
+# positives ~2^-15 + the overflow table's ~2^-16. Motivation: the
+# two-level CHD alive probe is the sieve kernel's latency sink (64% of
+# kernel time, MEASUREMENTS.md probe-family split) because its word
+# gather depends on its displacement gather; this structure has no
+# dependent gather at all.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Bucket2Table:
+    words: np.ndarray           # int32 [m]: fp16 lo | fp16 hi
+    mul: int                    # odd multiplier (fp = low 16 bits of prod)
+    lg_m: int
+    overflow: ChdTable | None   # resid2 CHD over third-or-later keys
+    salt: int = 0
+
+
+def build_bucket2(keys: np.ndarray, lg_m_delta: int = 0,
+                  salts: int = 16) -> Bucket2Table:
+    """Bucket-fingerprint filter over unique uint32 keys.
+
+    m = pow2(n) * 2^lg_m_delta buckets; the salt minimizing the overflow
+    count wins (fewer overflow keys -> smaller parallel CHD)."""
+    keys = np.asarray(keys, dtype=np.uint32)
+    n = keys.shape[0]
+    assert n > 0 and np.unique(keys).shape[0] == n
+    m = max(8, _pow2(n) << lg_m_delta if lg_m_delta >= 0
+            else _pow2(n) >> -lg_m_delta)
+    lg_m = int(np.log2(m))
+    best = None
+    for salt in range(salts):
+        mul = np.uint32(slot_multiplier(salt))
+        prod = keys * mul
+        bucket = (prod >> np.uint32(32 - lg_m)).astype(np.int64)
+        cnt = np.bincount(bucket, minlength=m)
+        ovf = int(np.maximum(cnt - 2, 0).sum())
+        if best is None or ovf < best[0]:
+            best = (ovf, salt, mul, prod, bucket)
+        if ovf == 0:
+            break
+    _, salt, mul, prod, bucket = best
+    fp = (prod & np.uint32(0xFFFF)).astype(np.uint32)
+    lo = np.full(m, -1, np.int64)       # -1 = empty
+    hi = np.full(m, -1, np.int64)
+    ovf_keys = []
+    order = np.argsort(bucket, kind="stable")   # deterministic fill
+    for i in order:
+        b = bucket[i]
+        if lo[b] < 0:
+            lo[b] = fp[i]
+        elif hi[b] < 0:
+            hi[b] = fp[i]
+        elif fp[i] == lo[b] or fp[i] == hi[b]:
+            pass                         # same fingerprint already stored
+        else:
+            ovf_keys.append(keys[i])
+    # empty halves duplicate the other half (or 0 for fully-empty
+    # buckets): duplicates add no false positives beyond the stored fp
+    lo = np.where(lo < 0, np.maximum(hi, 0), lo)
+    hi = np.where(hi < 0, lo, hi)
+    words = (lo | (hi << np.int64(16))).astype(np.uint32).view(np.int32)
+    overflow = (build_resid2(np.array(sorted(int(k) for k in ovf_keys),
+                                      dtype=np.uint32))
+                if ovf_keys else None)
+    return Bucket2Table(words=words, mul=int(mul), lg_m=lg_m,
+                        overflow=overflow, salt=salt)
+
+
+def lookup_bucket2(t: Bucket2Table, key: int) -> bool:
+    """Host oracle for the bucket-fingerprint probe (may false-positive)."""
+    prod = np.uint32((int(key) * t.mul) & 0xFFFFFFFF)
+    b = int(prod >> np.uint32(32 - t.lg_m))
+    w = int(np.uint32(t.words[b]))
+    fp = int(prod & np.uint32(0xFFFF))
+    if (w & 0xFFFF) == fp or ((w >> 16) & 0xFFFF) == fp:
+        return True
+    return t.overflow is not None and lookup_resid2(t.overflow, key)
+
+
 def _search_nodisp_mul(keys: np.ndarray, r: int, tries: int = 1 << 17) -> int | None:
     """Find an odd multiplier making slot = (key*mul) >> (32-lg_r) perfect
     (no displacement array at all — saves the probe's disp gather).

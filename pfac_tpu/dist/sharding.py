@@ -142,7 +142,9 @@ class ShardedMatcher:
             self._walk_tables = sieve.build_walk_tables_gated(
                 a, self._sieve_tables)
             self._csr_tables = None
-            if self._walk_tables is None and self._sieve_tables.alive is not None:
+            if self._walk_tables is None:
+                # None when there are no length>=4 patterns; the big tier
+                # (tables.alive is None) draws its XLA entry filter here
                 from ..backends.xla_csr import build_csr_tables
                 self._csr_tables = build_csr_tables(a)
             deep = (self._walk_tables.arrays

@@ -570,3 +570,65 @@ class TestKernelVariants:
                        jnp.asarray(datap),
                        jnp.full((1,), n, jnp.int32))
         assert np.array_equal(np.asarray(out)[:n], exp)
+
+
+class TestAliveStructures:
+    """Alternative alive-filter structures: the bucket-fingerprint form
+    (kept as a measured A/B arm — it LOST on chip, logs_r5/alive_ab.log)
+    and the big-tier XLA entry filter (no in-kernel alive at all past
+    _ALIVE_CHD_MAX keys)."""
+
+    def _ruleset(self, seed=13, deep=40):
+        rng = np.random.default_rng(seed)
+        pats = [bytes(rng.integers(0, 256, size=int(l), dtype=np.uint8))
+                for l in list(rng.integers(1, 4, size=6))
+                + list(rng.integers(4, 14, size=deep))]
+        return list(dict.fromkeys(pats)), rng
+
+    def test_bucket2_no_false_negatives(self):
+        from pfac_tpu.core import chd
+
+        rng = np.random.default_rng(5)
+        for n in (3, 64, 1500):
+            ks = np.unique(rng.integers(0, 1 << 32, size=n,
+                                        dtype=np.uint64).astype(np.uint32))
+            for delta in (-1, 0):
+                t = chd.build_bucket2(ks, lg_m_delta=delta)
+                assert all(chd.lookup_bucket2(t, int(k)) for k in ks)
+
+    def test_bucket2_end_to_end(self, monkeypatch):
+        import pfac_tpu.backends.pallas_sieve as S
+
+        monkeypatch.setattr(S, "ALIVE_BUCKET2_MAX", 1 << 20)
+        pats, rng = self._ruleset()
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        assert m.tables.alive is not None and m.tables.alive.bucket2
+        n = 4096
+        d = rng.integers(0, 256, size=n, dtype=np.uint8)
+        for i in range(0, n - 16, 53):
+            p = pats[int(rng.integers(0, len(pats)))]
+            d[i:i + len(p)] = np.frombuffer(p, np.uint8)
+        d = bytes(d)
+        assert np.array_equal(m.match(d), golden.match_dense_batch(a, d))
+
+    def test_big_tier_entry_filter(self, monkeypatch):
+        # alive keys past _ALIVE_CHD_MAX: no in-kernel alive filter; the
+        # pipeline's survivors come from xla_csr.entry_filter_bits
+        import pfac_tpu.backends.pallas_sieve as S
+
+        monkeypatch.setattr(S, "_ALIVE_CHD_MAX", 4)
+        pats, rng = self._ruleset(seed=14, deep=30)
+        a = Automaton.from_patterns(pats)
+        m = SieveMatcher(a, interpret=True)
+        assert m.tables.alive is None and m.csr_tables is not None
+        assert m.csr_tables.fkeys is not None
+        n = 3000
+        d = bytearray(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+        for i in range(0, n - 16, 101):
+            p = pats[int(rng.integers(0, len(pats)))]
+            d[i:i + len(p)] = p
+        deep = [p for p in pats if len(p) >= 4][0]
+        d[n - len(deep):] = deep          # match at the very end
+        d = bytes(d)
+        assert np.array_equal(m.match(d), golden.match_dense_batch(a, d))
