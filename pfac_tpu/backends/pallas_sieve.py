@@ -66,9 +66,15 @@ HALO_ROWS = 32                 # uint8 tile height: one min-tile of halo
 _I32 = lambda x: jnp.int32(np.int32(np.uint32(x)))
 
 # alive-key count above which the filter stores 8-bit residuals (half the
-# plane scan) instead of 16-bit: past this size the saved plane gathers
-# outweigh the extra ~2^-8 false survivors' walk cost
-_RESID8_THRESHOLD = 8192
+# plane scan) instead of 16-bit. DISABLED (r5): resid8's ~2^-8 false
+# survivors are corpus-sized (~262K per 64 MB) and every ruleset large
+# enough to clear the old 8192 threshold rides the CSR deep tier, where
+# a false survivor costs a ~650 ns round share (20.9 ms / 32K ranks,
+# logs_r5/csr_profile.log) — ~188 ms of dud rounds against resid16's
+# +29 ms of extra planes (75.7 vs 46.5 ms kernel at 100K keys). The
+# flagship walker tier measured the same verdict end-to-end in r4/r5
+# (e2e_resid8 21.1 vs e2e_resid16 6.6, logs_r5/kernel_ab2.log).
+_RESID8_THRESHOLD = 1 << 30
 
 # alive-key count at/below which the filter is the ONE-gather-level
 # bucket-fingerprint structure (chd.build_bucket2: fp16 pairs per bucket
@@ -84,13 +90,15 @@ ALIVE_B2_LGM_DELTA = 0   # bucket-count scale: 0 -> pow2(n) buckets
                          # plane scan at ~4x the overflow table
 
 # alive-key count beyond which the sieve builds NO in-kernel alive
-# filter at all: a 100K-key resid8 scan is ~320 VMEM planes per probe
-# (~960 of the kernel's ops), the r4 big-ruleset regime's dominant cost.
-# Past this the big tier filters positions with ONE XLA row gather
-# against the CSR keys-only entry-prefix table (xla_csr.
-# entry_filter_bits, ~40 G elem/s) — exact on the 4-byte prefix, so
-# survivors are true prefix hits rather than resid8's ~2^-8 noise.
-_ALIVE_CHD_MAX = 1 << 16
+# filter, using ONE XLA row gather against the CSR keys-only table
+# instead (xla_csr.entry_filter_bits). DISABLED (r5 capture,
+# logs_r5/big_tier_split.log): XLA gathers are ROW-RATE-bound
+# (~0.16 G rows/s at ANY row width), so the per-position filter costs
+# 423 ms/64 MB — worse than even a 512-plane in-kernel resid16 scan
+# (75.7 ms). Kept as the measured negative result; the VPU lane-gather
+# plane scan remains the only cheap per-position random access on this
+# chip.
+_ALIVE_CHD_MAX = 1 << 30
 
 SPLIT_LOOPS = False   # sieve kernel: separate m123 and alive passes over
                       # the staged k4 tile (smaller live sets per loop)
@@ -575,6 +583,11 @@ def _make_kernel(tables: SieveTables, grid: int,
 
         def _alive_bits(k4s, dm, bits_acc, srow_sel):
             prod = k4s * _I32(alive.slot_mul)
+            # the stored residual comes from an INDEPENDENT multiplier
+            # (chd.h_resid): low/derived bits of the slot product overlap
+            # h1 once lg_b+lg_r nears 32, gutting the FP rate (r5 fix —
+            # 715K false survivors at 100K keys, csr_profile.log)
+            prod_r = k4s * _I32(int(chd.MIX_RESID))
             if alive.bucket2:
                 # one-gather-level bucket-fingerprint probe: bucket = top
                 # lg_r product bits, word = two fp16; the small overflow
@@ -590,26 +603,39 @@ def _make_kernel(tables: SieveTables, grid: int,
                                         interpret)
                     w2 = _lookup(ao_words, slot2 >> 1, interpret)
                     r16 = jnp.where((slot2 & 1) == 1, w2 >> 16, w2) & 0xFFFF
-                    hit = hit | (r16 == (prod2 & 0xFFFF))
+                    hit = hit | (r16 == ((prod_r >> 16) & 0xFFFF))
                 a = dm(hit, 3)
             elif alive.resid_bits == 16:
-                # stored residual = the product's low resid_bits
                 slot = _probe_slot(alive, al_disp, prod, interpret)
                 w = _lookup(al_words, slot >> 1, interpret)
                 r16 = jnp.where((slot & 1) == 1, w >> 16, w) & 0xFFFF
-                a = dm(r16 == (prod & 0xFFFF), 3)
+                a = dm(r16 == ((prod_r >> 16) & 0xFFFF), 3)
             else:                   # 8-bit, packed 4/word
                 slot = _probe_slot(alive, al_disp, prod, interpret)
                 w = _lookup(al_words, slot >> 2, interpret)
                 lo = jnp.where((slot & 1) == 1, w >> 8, w)
                 r8 = jnp.where((slot & 2) == 2, lo >> 16, lo) & 0xFF
-                a = dm(r8 == (prod & 0xFF), 3)
+                a = dm(r8 == ((prod_r >> 24) & 0xFF), 3)
             bw = jnp.sum(a.astype(jnp.int32) << srow, axis=0)
             return jnp.where(srow == srow_sel, bw[None, :], bits_acc)
 
         bits0 = jnp.zeros((8, LANES), jnp.int32)
         # rd_min over the block = n_loc - (TILE*LANES - 1) > 3
         safe = n_loc >= TILE_ROWS_ * LANES + 4
+        if tail_split:
+            # the tail grid step holds the NEIGHBOR's bytes: its results
+            # are never owned, so skip its probes entirely and zero its
+            # bitmap — survivor rounds then never see tail positions, and
+            # the owned-size output buffer needs no store from this step
+            # (its out window revisits block grid-2 and is left intact)
+            active = g < sg
+            safe = safe & active
+
+            @pl.when(jnp.logical_not(active))
+            def _():
+                bits_ref[:] = jnp.zeros((SUB_, LANES), jnp.int32)
+        else:
+            active = True
 
         @pl.when(safe)
         def _():
@@ -625,24 +651,36 @@ def _make_kernel(tables: SieveTables, grid: int,
                 jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(False),
                                   bits0)
 
-        @pl.when(jnp.logical_not(safe))
+        unsafe = jnp.logical_not(safe) if not tail_split else (
+            jnp.logical_not(safe) & active)
+
+        @pl.when(unsafe)
         def _():
             jax.lax.fori_loop(0, SUB_ // unroll, make_sub_blk(True), bits0)
 
     return kernel
 
 
+ESC_BLOCK_BATCH = 8   # dense blocks walked per escape-loop iteration:
+                      # amortizes the block-walk kernel's launch + gather
+                      # overhead (~0.1-0.2 ms/iteration) across blocks —
+                      # at 1 block/iteration an all-match 100 MB corpus
+                      # pays ~1600 launches. VMEM: 8 blocks of bytes =
+                      # 2.2 MB alongside the <=6 MB walk tables.
+
+
 def build_block_walk(wt, *, tile_rows: int = TILE_ROWS,
-                     interpret: bool = False):
+                     interpret: bool = False, nblocks: int = 1):
     """Standalone dense-block walk kernel for the XLA-side escape.
 
-    run(walk_args, block_i32, nloc) -> int32 (tile_rows, LANES): the
-    longest length>=4 match per position of ONE kernel block, walked to
-    full depth against the VMEM depth-sliced tables. block_i32 is the
-    block's bytes + HALO_ROWS of lookahead as int32 (tile_rows +
-    HALO_ROWS, LANES) rows; nloc (scalar) = remaining input bytes from
-    the block's first position — garbage lookahead past the input end is
-    masked by depth.
+    run(walk_args, blocks_i32, nloc_vec) -> int32 (nblocks*tile_rows,
+    LANES): the longest length>=4 match per position of `nblocks` kernel
+    blocks, walked to full depth against the VMEM depth-sliced tables.
+    blocks_i32 stacks each block's bytes + HALO_ROWS of lookahead as
+    int32 ((tile_rows + HALO_ROWS) rows per block); nloc_vec[j] =
+    remaining input bytes from block j's first position — garbage
+    lookahead past the input end is masked by depth. Duplicate block ids
+    (batch padding) are harmless: the merge is idempotent.
 
     This replaces the round-4 IN-kernel escape: arming the check inside
     the hot sieve kernel cost every corpus ~35% even when never taken
@@ -657,18 +695,21 @@ def build_block_walk(wt, *, tile_rows: int = TILE_ROWS,
 
     nw = n_walk_refs(wt)
     sub = tile_rows // 8
+    brows = tile_rows + HALO_ROWS
 
     def kernel(nloc_ref, bytes_ref, *refs):
         walk_refs = refs[:nw]
         out_ref, st8, mt8 = refs[nw], refs[nw + 1], refs[nw + 2]
-        g = pl.program_id(0)                     # row-group within block
-        nloc = nloc_ref[0, 0]
+        g = pl.program_id(0)
+        blk = g // sub                           # block within batch
+        lg = g % sub                             # row-group within block
+        nloc = nloc_ref[0, blk]
         base8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
                  + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1))
         lanes_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
         def byte(j):
-            r0 = g * 8 + (j >> 7)
+            r0 = blk * brows + lg * 8 + (j >> 7)
             k = j & 127
             a = bytes_ref[pl.ds(r0, 8), :]
             if k == 0:
@@ -678,7 +719,7 @@ def build_block_walk(wt, *, tile_rows: int = TILE_ROWS,
             rb = pltpu.roll(b, LANES - k, 1)
             return jnp.where(lanes_ >= LANES - k, rb, ra)
 
-        maxd = (nloc - g * (8 * LANES)) - base8
+        maxd = (nloc - lg * (8 * LANES)) - base8
         emit_block_walk(wt, walk_refs, byte, maxd, st8, mt8, interpret)
         out_ref[:] = mt8[:]
 
@@ -688,24 +729,26 @@ def build_block_walk(wt, *, tile_rows: int = TILE_ROWS,
         for a in wt.arrays
     ]
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((tile_rows + HALO_ROWS, LANES), lambda i: (0, 0),
+        pl.BlockSpec((1, nblocks), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nblocks * brows, LANES), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ] + tab_specs
 
-    def run(walk_args, block_i32, nloc):
-        nloc_arr = jnp.reshape(nloc, (1, 1)).astype(jnp.int32)
+    def run(walk_args, blocks_i32, nloc_vec):
+        nloc_arr = jnp.reshape(nloc_vec, (1, nblocks)).astype(jnp.int32)
         return pl.pallas_call(
             kernel,
-            grid=(sub,),
-            out_shape=jax.ShapeDtypeStruct((tile_rows, LANES), jnp.int32),
+            grid=(nblocks * sub,),
+            out_shape=jax.ShapeDtypeStruct((nblocks * tile_rows, LANES),
+                                           jnp.int32),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32),   # state
                             pltpu.VMEM((8, LANES), jnp.int32)],  # match
             interpret=interpret,
-        )(nloc_arr, block_i32, *walk_args)
+        )(nloc_arr, blocks_i32, *walk_args)
 
     return run
 
@@ -857,21 +900,65 @@ _HEAVY_E_FRAC = 16      # then <= cap/16 continue to max_len in cond-guarded ste
 
 def _rank_select(flags: jax.Array, cap_out: int):
     """Indices of the first cap_out set flags (1-D). Padding entries hold
-    len(flags) — out of range, so downstream scatters drop them."""
+    len(flags) — out of range, so downstream scatters drop them.
+
+    Row-gather form (r5): the old per-rank binary search cost log2(nf)
+    ELEMENTWISE gathers per rank (~3 ms per 24K-rank prune at the chip's
+    0.12 G elem/s elementwise rate — the dominant CSR-round cost,
+    logs_r5/csr_profile.log); this is the same compare-sum + row-gather
+    + MXU-lane-prefix shape as _compact, all fast-path traffic."""
     nf = flags.shape[0]
-    cum = jnp.cumsum(flags.astype(jnp.int32))
-    cnt = cum[-1]
+    nfp = -(-nf // LANES) * LANES
+    f = flags.astype(jnp.int32)
+    if nfp != nf:
+        f = jnp.concatenate([f, jnp.zeros(nfp - nf, jnp.int32)])
+    f2 = f.reshape(-1, LANES)
+    bcum = _prefix_1d(f2.sum(axis=1))
+    cnt = bcum[-1]
     q = jnp.arange(1, cap_out + 1, dtype=jnp.int32)
-    lo = jnp.zeros(cap_out, jnp.int32)
-    hi = jnp.full(cap_out, nf, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(max(2, nf)))) + 1):
-        mid = (lo + hi) >> 1
-        v = jnp.take(cum, jnp.minimum(mid, nf - 1))
-        go_right = v < q
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    idx = jnp.where(q <= cnt, jnp.minimum(lo, nf - 1), nf)
+    row, prev = _rank_rows(bcum, q)
+    vals = jnp.take(f2, row, axis=0)                 # (cap_out, 128)
+    from .xla import _lane_prefix
+    rcum = _lane_prefix(vals)                        # 0/1 flags, f32 exact
+    within = jnp.sum((rcum < (q - prev)[:, None].astype(jnp.float32))
+                     .astype(jnp.int32), axis=1)
+    within = jnp.minimum(within, LANES - 1)
+    idx = jnp.where(q <= cnt, row * LANES + within, nf)
     return idx, cnt
+
+
+def _rank_select_gather(flags: jax.Array, cap_out: int, *vecs: jax.Array):
+    """_rank_select plus row-gather extraction of companion vectors:
+    returns (idx, cnt, v0[idx], v1[idx], ...) with the same fast-path
+    traffic (an elementwise v[idx] would cost ~0.12 G elem/s). Entries
+    past cnt hold garbage — callers mask on idx < len(flags)."""
+    nf = flags.shape[0]
+    nfp = -(-nf // LANES) * LANES
+    f = flags.astype(jnp.int32)
+    if nfp != nf:
+        f = jnp.concatenate([f, jnp.zeros(nfp - nf, jnp.int32)])
+    f2 = f.reshape(-1, LANES)
+    bcum = _prefix_1d(f2.sum(axis=1))
+    cnt = bcum[-1]
+    q = jnp.arange(1, cap_out + 1, dtype=jnp.int32)
+    row, prev = _rank_rows(bcum, q)
+    vals = jnp.take(f2, row, axis=0)
+    from .xla import _lane_prefix
+    rcum = _lane_prefix(vals)
+    within = jnp.sum((rcum < (q - prev)[:, None].astype(jnp.float32))
+                     .astype(jnp.int32), axis=1)
+    within = jnp.minimum(within, LANES - 1)
+    idx = jnp.where(q <= cnt, row * LANES + within, nf)
+    onehot = (jnp.arange(LANES, dtype=jnp.int32)[None, :]
+              == within[:, None])
+    outs = []
+    for v in vecs:
+        v1 = v
+        if nfp != nf:
+            v1 = jnp.concatenate([v1, jnp.zeros(nfp - nf, v1.dtype)])
+        vr = jnp.take(v1.reshape(-1, LANES), row, axis=0)
+        outs.append(jnp.sum(jnp.where(onehot, vr, 0), axis=1))
+    return (idx, cnt, *outs)
 
 
 def build_pipeline(automaton: Automaton, tables: SieveTables, *,
@@ -924,8 +1011,11 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
               and tables.alive is not None
               and walk_tables.max_len + 4 <= HALO_ROWS * LANES
               and not kernel_only)
+    esc_kb = max(1, min(ESC_BLOCK_BATCH,
+                        grid - 1 if tail_split else grid))
     block_walk = (build_block_walk(walk_tables, tile_rows=tile_rows,
-                                   interpret=interpret) if esc_ok else None)
+                                   interpret=interpret, nblocks=esc_kb)
+                  if esc_ok else None)
     kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,
                           tail_split, split_loops)
     sub = tile_rows // 8
@@ -980,14 +1070,22 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
         data_spec,
         halo_spec,
     ] + tail_specs + tab_specs
+    # tail_split: the match output is sized to the OWNED range only —
+    # the tail grid step stores nothing (its window revisits block
+    # grid-2, left intact), so the sharded caller's result needs no
+    # (npad -> shard_len) slice copy at all (r4 shard-efficiency gap:
+    # 0.884 at 64 MB, the owned-slice relayout suspect)
+    own_blocks = grid - 1 if tail_split else grid
     out_specs = [
-        pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+        pl.BlockSpec((tile_rows, LANES),
+                     (lambda i: (jnp.minimum(i, grid - 2), 0)) if tail_split
+                     else (lambda i: (i, 0)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((own_blocks * tile_rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((grid * sub, LANES), jnp.int32),
     ]
     rows_u8 = grid * tile_rows + HALO_ROWS
@@ -1042,6 +1140,11 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                                          jnp.uint8)])
             bits = entry_filter_bits(csr_tables, walk_args[-1], flat,
                                      npad, n_arr[0])
+            if tail_split:
+                # tail-block positions are the neighbor's: drop them like
+                # the kernel's own bitmap path does
+                riota = jnp.arange(grid * sub, dtype=jnp.int32)[:, None]
+                bits = jnp.where(riota < own_blocks * sub, bits, 0)
         rowcnt = jax.lax.population_count(bits).sum(axis=1)  # (grid*sub,)
 
         if esc_ok:
@@ -1068,9 +1171,16 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
             riota = jnp.arange(brows, dtype=jnp.int32)
 
             def esc_body(s):
+                # ESC_BLOCK_BATCH blocks per iteration: one kernel launch
+                # + one batched row gather; the final iteration pads with
+                # repeats of the last block id (the merge is idempotent)
                 i, res2d, rcnt = s
-                b = blk_ids[i]
-                rr = b * tile_rows + riota
+                ranks = jnp.minimum(
+                    i * esc_kb + jnp.arange(esc_kb, dtype=jnp.int32),
+                    jnp.maximum(n_esc - 1, 0))
+                bids = jnp.take(blk_ids, ranks)
+                rr = (bids[:, None] * tile_rows
+                      + riota[None, :]).reshape(-1)
                 if tail_split:
                     nm = (grid - 1) * tile_rows
                     pm = jnp.take(data2d, jnp.minimum(rr, nm - 1), axis=0)
@@ -1082,18 +1192,23 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                     blk_u8 = jnp.take(
                         data2d, jnp.minimum(rr, data2d.shape[0] - 1),
                         axis=0)
-                nloc = n_scalar - b * (tile_rows * LANES)
+                nloc = n_scalar - bids * (tile_rows * LANES)
                 wm = block_walk(walk_args, blk_u8.astype(jnp.int32), nloc)
-                cur = jax.lax.dynamic_slice(
-                    res2d, (b * tile_rows, 0), (tile_rows, LANES))
-                res2d = jax.lax.dynamic_update_slice(
-                    res2d, jnp.where(wm > 0, wm, cur), (b * tile_rows, 0))
-                rcnt = jax.lax.dynamic_update_slice(
-                    rcnt, jnp.zeros(sub, jnp.int32), (b * sub,))
+                for j in range(esc_kb):
+                    b = bids[j]
+                    wmj = jax.lax.dynamic_slice(
+                        wm, (j * tile_rows, 0), (tile_rows, LANES))
+                    cur = jax.lax.dynamic_slice(
+                        res2d, (b * tile_rows, 0), (tile_rows, LANES))
+                    res2d = jax.lax.dynamic_update_slice(
+                        res2d, jnp.where(wmj > 0, wmj, cur),
+                        (b * tile_rows, 0))
+                    rcnt = jax.lax.dynamic_update_slice(
+                        rcnt, jnp.zeros(sub, jnp.int32), (b * sub,))
                 return i + 1, res2d, rcnt
 
             _, out, rowcnt = jax.lax.while_loop(
-                lambda s: s[0] < n_esc, esc_body,
+                lambda s: s[0] * esc_kb < n_esc, esc_body,
                 (jnp.int32(0), out, rowcnt))
 
         matches = out.reshape(-1)

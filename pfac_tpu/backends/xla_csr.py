@@ -412,7 +412,7 @@ def build_csr_walker(t: CsrTables, *, cap: int, interpret: bool = False):
     lockstep fallback)."""
     from .pallas_sieve import (_HEAVY_D1, _HEAVY_D2, _HEAVY_D3,
                                _HEAVY_B_FRAC, _HEAVY_C_FRAC, _HEAVY_E_FRAC,
-                               _rank_select)
+                               _rank_select_gather)
     from .pallas_walk import GROUP, build_align
 
     assert cap % GROUP == 0
@@ -482,11 +482,15 @@ def build_csr_walker(t: CsrTables, *, cap: int, interpret: bool = False):
             return state, match
 
         def prune(state, pos_v, cap_in, cap_out):
-            idx, cnt = _rank_select(state > 0, cap_out)
+            # row-gather rank select + companion extraction: the old
+            # binary search + elementwise takes cost ~3.5 ms per prune
+            # (the dominant CSR-round cost, logs_r5/csr_profile.log)
+            idx, cnt, posx, stx = _rank_select_gather(
+                state > 0, cap_out, pos_v, state)
             ovf = (cnt > cap_out).astype(jnp.int32)
             val = idx < cap_in
-            posx = jnp.where(val, jnp.take(pos_v, jnp.minimum(idx, cap_in - 1)), n)
-            stx = jnp.where(val, jnp.take(state, jnp.minimum(idx, cap_in - 1)), 0)
+            posx = jnp.where(val, posx, n)
+            stx = jnp.where(val, stx, 0)
             return idx, posx, stx, ovf
 
         # ---- stage A: entry + steps to depth d1, full cap

@@ -316,19 +316,28 @@ def build_exact_wide2(keys: np.ndarray, values: np.ndarray) -> tuple[ChdTable, n
 
 
 def build_resid2(keys: np.ndarray, bits: int = 16) -> ChdTable:
-    """Fused residual filter: stored residual = low `bits` bits of the
-    probe product (no separate residual hash), packed 32//bits per word.
+    """Fused-slot residual filter: bucket/h1 come from the fused product,
+    but the stored residual is the TOP `bits` bits of an INDEPENDENT
+    product key*MIX_RESID (h_resid), packed 32//bits per word.
+
+    The residual must be independent of the slot hash: the original
+    fused form stored low product bits, which OVERLAP the h1 bit range
+    once lg_b + lg_r approaches 32 — at 100K keys the "2^-16" filter
+    actually passed ~1% of random probes (r5 capture,
+    experiments/logs_r5/csr_profile.log: 715K survivors where the exact
+    count was ~5K). One extra VPU multiply per probe buys the nominal
+    FP rate at every table size.
 
     bits=16 (FP ~2^-16) is the default; bits=8 (FP ~2^-8, half the probe
-    planes) pays off for large key sets where the plane scan dominates
-    the false-positive walk cost (see pallas_sieve._RESID8_THRESHOLD)."""
+    planes) pays off only where a false positive is walker-cheap (see
+    pallas_sieve._RESID8_THRESHOLD)."""
     assert bits in (8, 16)
     per_word = 32 // bits
     mask = np.uint32((1 << bits) - 1)
     keys = np.asarray(keys, dtype=np.uint32)
     assert keys.size > 0
     disp, slot_of, r, b, salt = _build(keys, fused=True)
-    _, _, resid_of = _h_fused(keys, b, r, salt)
+    resid_of = h_resid(keys, bits)
     resid = np.full(r, np.uint32(0x5555) & mask, dtype=np.uint32)
     resid[slot_of] = resid_of.astype(np.uint32) & mask
     words = np.zeros(r // per_word, dtype=np.uint32)
@@ -369,10 +378,10 @@ def lookup_exact_wide2(t: ChdTable, key_words: np.ndarray, key: int) -> int:
 def lookup_resid2(t: ChdTable, key: int) -> bool:
     bits = 8 if t.kind.endswith("_8") else 16
     per_word = 32 // bits
-    slot, resid = _fused_slot(t, key)
+    slot, _ = _fused_slot(t, key)
     w = int(np.uint32(t.slot_words[slot // per_word]))
     stored = (w >> (bits * (slot % per_word))) & ((1 << bits) - 1)
-    return stored == (resid & ((1 << bits) - 1))
+    return stored == int(h_resid(np.array([key], np.uint32), bits)[0])
 
 
 # ---------------------------------------------------------------------------
