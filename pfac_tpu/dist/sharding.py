@@ -226,7 +226,7 @@ class ShardedMatcher:
 
         def run_local(tables, dense_flat, data_local):
             idx = jax.lax.axis_index(AXIS)
-            head = jax.lax.dynamic_slice(data_local, (0,), (halo,))
+            head = data_local[:halo]         # static slice: no gather op
             perm = [(i, i - 1) for i in range(1, nd)]
             # last shard's halo: ppermute leaves untargeted outputs zero;
             # those bytes sit at/past global n and are masked by n_valid
@@ -256,23 +256,29 @@ class ShardedMatcher:
         fallback."""
         run_local, _ = self._sieve_shard_pipeline(shard_len, n)
 
+        # the overflow flag must be globally agreed only ACROSS PROCESSES
+        # (a sharded flag is not addressable cross-process and divergent
+        # fallback decisions would desynchronize the job —
+        # multihost_smoke r5); within one process the host reads every
+        # shard itself. The psum is gated on that: a scalar psum costs
+        # ~0.5 ms per dispatch even on a 1-chip mesh (r5 capture,
+        # logs_r5/shard_gap2.log — half the shard_map efficiency gap).
+        mp = jax.process_count() > 1
+
         def local_match(tables, dense_flat, data_local):
             result, ovf = run_local(tables, dense_flat, data_local)
-            # static slice: the owned range always starts at 0, so the
-            # dynamic_slice form only cost XLA the chance to fold the
-            # slice into the producing scatter's layout
+            # static slice: a no-op under the tail_split owned-size
+            # output (result is exactly shard_len); real only on the
+            # rare non-split layout
             owned = result[:shard_len]
-            # the overflow flag reduces to a REPLICATED global: every
-            # process sees the same bit (a sharded flag is not
-            # addressable cross-process — multihost_smoke r5), and all
-            # processes take the fallback branch in lockstep
-            return owned, jax.lax.psum(ovf, AXIS).reshape(1)
+            ovf1 = jax.lax.psum(ovf, AXIS) if mp else ovf
+            return owned, ovf1.reshape(1)
 
         fn = jax.shard_map(
             local_match,
             mesh=self.mesh,
             in_specs=(P(), P(), P(AXIS)),
-            out_specs=(P(AXIS), P()),
+            out_specs=(P(AXIS), P() if mp else P(AXIS)),
             # pallas_call out_shapes carry no varying-mesh-axes annotation
             check_vma=False,
         )
@@ -381,7 +387,11 @@ class ShardedMatcher:
         if self.engine == "sieve":
             f, cfn = fn
             matches, ovf = f(self._tables, self._dense_flat, data_dev)
-            if int(jax.device_get(ovf)[0]):
+            # multi-process: ovf is psum-replicated (one addressable
+            # copy, globally agreed); single-process: sharded — read the
+            # local shards directly
+            if any(int(np.asarray(s.data).max())
+                   for s in ovf.addressable_shards):
                 return self._xla_fallback_fn(n)(data_dev)
             return matches, (cfn(matches) if want_count else None)
         return fn(self._tables, self._pair_state, self._pair_match,
