@@ -661,94 +661,216 @@ def _make_kernel(tables: SieveTables, grid: int,
     return kernel
 
 
-ESC_BLOCK_BATCH = 8   # dense blocks walked per escape-loop iteration:
-                      # amortizes the block-walk kernel's launch + gather
-                      # overhead (~0.1-0.2 ms/iteration) across blocks —
-                      # at 1 block/iteration an all-match 100 MB corpus
-                      # pays ~1600 launches. VMEM: 8 blocks of bytes =
-                      # 2.2 MB alongside the <=6 MB walk tables.
+ESC_BLOCK_BATCH = 64  # dense blocks walked per escape-loop iteration.
+                      # The in-place block-walk kernel writes each
+                      # block's COMPLETE result straight into the match
+                      # buffer (scalar-prefetch output index maps +
+                      # input_output_aliasing), so an iteration is ONE
+                      # pallas launch and a tiny scalar concat — no
+                      # per-block HLOs at all (a dynamic_update_slice
+                      # pair per block cost ~25 us of dispatch each,
+                      # ~the whole all-match regime, BENCH_REGIMES r5
+                      # first capture). One block is staged in VMEM at a
+                      # time, so the batch size only divides the launch
+                      # count.
 
 
 def build_block_walk(wt, *, tile_rows: int = TILE_ROWS,
-                     interpret: bool = False, nblocks: int = 1):
-    """Standalone dense-block walk kernel for the XLA-side escape.
+                     grid_blocks: int, halo_max: int,
+                     interpret: bool = False, nblocks: int = 1,
+                     tail_split: bool = False,
+                     sieve_tables: SieveTables | None = None):
+    """In-place dense-block walk kernel for the XLA-side escape.
 
-    run(walk_args, blocks_i32, nloc_vec) -> int32 (nblocks*tile_rows,
-    LANES): the longest length>=4 match per position of `nblocks` kernel
-    blocks, walked to full depth against the VMEM depth-sliced tables.
-    blocks_i32 stacks each block's bytes + HALO_ROWS of lookahead as
-    int32 ((tile_rows + HALO_ROWS) rows per block); nloc_vec[j] =
-    remaining input bytes from block j's first position — garbage
-    lookahead past the input end is masked by depth. Duplicate block ids
-    (batch padding) are harmless: the merge is idempotent.
+    run(s, res2d, data2d[, tail2d], *m123_and_walk_tables) -> res2d'
+    where s = int32[nblocks + 1] holding the batch's block ids (pad =
+    repeats of the last id; the overwrite is idempotent) followed by the
+    true byte count n. For every listed block the kernel walks ALL its
+    positions to full depth against the VMEM depth-sliced tables,
+    computes the exact depth-1..3 matches itself (sieve m1/m2/m3
+    probes), and writes the COMPLETE per-position result directly into
+    res2d via scalar-prefetch-driven output index maps; res2d is
+    input/output-aliased, so untouched blocks keep their sieve-kernel
+    content and the caller does NO merge work at all.
+
+    Byte source: the block window + its HALO_ROWS lookahead are DMA'd by
+    Pallas from data2d via prefetch-driven input maps and staged once
+    per block into a contiguous VMEM scratch (grid steps of one block
+    revisit the same windows). Under tail_split the LAST real block's
+    lookahead comes from the tail buffer instead. grid_blocks = number
+    of data2d blocks; halo_max = last valid HALO_ROWS-unit index in
+    data2d (lookahead past it clamps — those bytes are masked by depth).
 
     This replaces the round-4 IN-kernel escape: arming the check inside
     the hot sieve kernel cost every corpus ~35% even when never taken
     (experiments/logs_r4/escape_ab.log: esc_on 8.437 vs esc_off 6.238
-    ms/64 MB — the SWAR popcount plus the walk body's register pressure).
-    Here the sieve kernel stays escape-free and build_pipeline dispatches
-    this kernel only over blocks whose bitmap popcount crossed the
-    density threshold — the all-match regime of reference Benchmark I
-    (PFAC/doc/PFAC_hash_draft.pdf Table 4).
+    ms/64 MB). Here the sieve kernel stays escape-free and
+    build_pipeline dispatches this kernel only over blocks whose bitmap
+    popcount crossed the density threshold — the all-match regime of
+    reference Benchmark I (PFAC/doc/PFAC_hash_draft.pdf Table 4).
     """
-    from .pallas_walk import emit_block_walk, n_walk_refs
+    from .pallas_walk import _n_m123_refs, emit_block_walk, n_walk_refs
 
     nw = n_walk_refs(wt)
+    st_t = sieve_tables
+    n123 = _n_m123_refs(st_t)
     sub = tile_rows // 8
     brows = tile_rows + HALO_ROWS
+    hb = tile_rows // HALO_ROWS
 
-    def kernel(nloc_ref, bytes_ref, *refs):
-        walk_refs = refs[:nw]
-        out_ref, st8, mt8 = refs[nw], refs[nw + 1], refs[nw + 2]
-        g = pl.program_id(0)
-        blk = g // sub                           # block within batch
-        lg = g % sub                             # row-group within block
-        nloc = nloc_ref[0, blk]
+    def kernel(s_ref, res_ref, data_ref, *refs):
+        i = 0
+        tail_ref = None
+        if tail_split:
+            tail_ref = refs[i]; i += 1
+        halo_ref = refs[i]; i += 1
+        m123_r = refs[i:i + n123]; i += n123
+        walk_refs = refs[i:i + nw]; i += nw
+        out_ref = refs[i]
+        b8, st8, mt8 = refs[i + 1], refs[i + 2], refs[i + 3]
+        blk = pl.program_id(0)       # one grid step per block: per-step
+        bid = s_ref[blk]             # overhead measured ~10 us/block at
+        n = s_ref[nblocks]           # 64 steps/block (r5 all-match A/B)
+        nloc = n - bid * (tile_rows * LANES)
+
+        # stage the block + lookahead contiguously (byte() reads straddle
+        # the block/halo boundary)
+        for r in range(sub):
+            b8[pl.ds(r * 8, 8), :] = (
+                data_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
+        if tail_split:
+            @pl.when(bid == grid_blocks - 1)
+            def _():
+                for r in range(HALO_ROWS // 8):
+                    b8[pl.ds(tile_rows + r * 8, 8), :] = (
+                        tail_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
+
+            @pl.when(bid < grid_blocks - 1)
+            def _():
+                for r in range(HALO_ROWS // 8):
+                    b8[pl.ds(tile_rows + r * 8, 8), :] = (
+                        halo_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
+        else:
+            for r in range(HALO_ROWS // 8):
+                b8[pl.ds(tile_rows + r * 8, 8), :] = (
+                    halo_ref[pl.ds(r * 8, 8), :].astype(jnp.int32))
+
         base8 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
                  + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1))
         lanes_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
-        def byte(j):
-            r0 = blk * brows + lg * 8 + (j >> 7)
-            k = j & 127
-            a = bytes_ref[pl.ds(r0, 8), :]
-            if k == 0:
-                return a
-            b = bytes_ref[pl.ds(r0 + 1, 8), :]
-            ra = pltpu.roll(a, LANES - k, 1)
-            rb = pltpu.roll(b, LANES - k, 1)
-            return jnp.where(lanes_ >= LANES - k, rb, ra)
+        def group(lg, c):
+            def byte(j):
+                r0 = lg * 8 + (j >> 7)
+                k = j & 127
+                a = b8[pl.ds(r0, 8), :]
+                if k == 0:
+                    return a
+                b = b8[pl.ds(r0 + 1, 8), :]
+                ra = pltpu.roll(a, LANES - k, 1)
+                rb = pltpu.roll(b, LANES - k, 1)
+                return jnp.where(lanes_ >= LANES - k, rb, ra)
 
-        maxd = (nloc - lg * (8 * LANES)) - base8
-        emit_block_walk(wt, walk_refs, byte, maxd, st8, mt8, interpret)
-        out_ref[:] = mt8[:]
+            maxd = (nloc - lg * (8 * LANES)) - base8
+            emit_block_walk(wt, walk_refs, byte, maxd, st8, mt8, interpret)
+            match = jnp.zeros((8, LANES), jnp.int32)
+            if st_t is not None:
+                # exact depth-1..3 (the sieve's own probes, LE keys,
+                # masked by maxd) — the output is the COMPLETE result
+                b0, b1, b2 = byte(0), byte(1), byte(2)
+                j = 0
+                if st_t.m1_chain is not None:
+                    for ch, pid in st_t.m1_chain:
+                        match = jnp.where((b0 == ch) & (maxd > 0), pid,
+                                          match)
+                elif st_t.m1 is not None and st_t.m1_packed:
+                    w = _lookup(m123_r[j], b0 >> 1, interpret); j += 1
+                    m1v = jnp.where((b0 & 1) == 1, w >> 16, w) & 0xFFFF
+                    match = jnp.where(maxd > 0, m1v, match)
+                elif st_t.m1 is not None:
+                    m1v = _lookup(m123_r[j], b0, interpret); j += 1
+                    match = jnp.where(maxd > 0, m1v, match)
+                if st_t.m2 is not None:
+                    m2p = st_t.m2
+                    k2 = (b1 << 8) | b0
+                    prod = k2 * _I32(m2p.slot_mul)
+                    m2_disp = None
+                    if not m2p.nodisp:
+                        m2_disp = m123_r[j]; j += 1
+                    slot = _probe_slot(m2p, m2_disp, prod, interpret)
+                    w = _lookup(m123_r[j], slot, interpret); j += 1
+                    if m2p.keyw is not None:
+                        kw = _lookup(m123_r[j], slot, interpret); j += 1
+                        match = jnp.where((kw == k2) & (maxd > 1), w,
+                                          match)
+                    else:
+                        hit2 = (((w >> 16) & 0xFFFF) == k2) & (maxd > 1)
+                        match = jnp.where(hit2, w & 0x7FFF, match)
+                if st_t.m3 is not None:
+                    m3p = st_t.m3
+                    k3 = (b2 << 16) | (b1 << 8) | b0
+                    prod = k3 * _I32(m3p.slot_mul)
+                    m3_disp = None
+                    if not m3p.nodisp:
+                        m3_disp = m123_r[j]; j += 1
+                    slot = _probe_slot(m3p, m3_disp, prod, interpret)
+                    w = _lookup(m123_r[j], slot, interpret); j += 1
+                    kw = _lookup(m123_r[j], slot, interpret); j += 1
+                    match = jnp.where((kw == k3) & (maxd > 2), w, match)
+                assert j == len(m123_r)
+            wm = mt8[:]
+            out_ref[pl.ds(lg * 8, 8), :] = jnp.where(wm > 0, wm, match)
+            return c
 
-    tab_specs = [
-        pl.BlockSpec((a.shape[0], LANES), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM)
-        for a in wt.arrays
-    ]
+        jax.lax.fori_loop(0, sub, group, jnp.int32(0))
+
+    m123_arrays = (st_t.arrays[:n123] if st_t is not None else [])
+    res_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda i, s: (s[i], 0),
+        memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, nblocks), lambda i: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((nblocks * brows, LANES), lambda i: (0, 0),
+        res_spec,
+        pl.BlockSpec((tile_rows, LANES), lambda i, s: (s[i], 0),
                      memory_space=pltpu.VMEM),
-    ] + tab_specs
+    ]
+    if tail_split:
+        in_specs.append(pl.BlockSpec((brows, LANES), lambda i, s: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(
+        (HALO_ROWS, LANES),
+        lambda i, s: (jnp.minimum((s[i] + 1) * hb, halo_max), 0),
+        memory_space=pltpu.VMEM))
+    in_specs += [
+        pl.BlockSpec((a.shape[0], LANES), lambda i, s: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for a in list(m123_arrays) + list(wt.arrays)
+    ]
 
-    def run(walk_args, blocks_i32, nloc_vec):
-        nloc_arr = jnp.reshape(nloc_vec, (1, nblocks)).astype(jnp.int32)
+    def run(s, res2d, data2d, tail2d, tables):
+        # data2d rides twice: once blocked (tile_rows) for the block
+        # window, once blocked (HALO_ROWS) for the lookahead window
+        ops = [s, res2d, data2d]
+        if tail_split:
+            ops.append(tail2d)
+        ops.append(data2d)
+        ops += list(tables)
         return pl.pallas_call(
             kernel,
-            grid=(nblocks * sub,),
-            out_shape=jax.ShapeDtypeStruct((nblocks * tile_rows, LANES),
-                                           jnp.int32),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32),   # state
-                            pltpu.VMEM((8, LANES), jnp.int32)],  # match
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nblocks,),
+                in_specs=in_specs,
+                out_specs=res_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((brows, LANES), jnp.int32),   # staged bytes
+                    pltpu.VMEM((8, LANES), jnp.int32),       # state
+                    pltpu.VMEM((8, LANES), jnp.int32),       # match
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct(res2d.shape, jnp.int32),
+            input_output_aliases={1: 0},
             interpret=interpret,
-        )(nloc_arr, blocks_i32, *walk_args)
+        )(*ops)
 
     return run
 
@@ -1013,8 +1135,18 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
               and not kernel_only)
     esc_kb = max(1, min(ESC_BLOCK_BATCH,
                         grid - 1 if tail_split else grid))
+    hb_ = tile_rows // HALO_ROWS
+    if tail_split:
+        esc_gb, esc_hmax = grid - 1, (grid - 1) * hb_ - 1
+    elif aligned:
+        esc_gb, esc_hmax = grid, grid * hb_ - 1
+    else:
+        esc_gb, esc_hmax = grid, grid * hb_   # rows_u8 carries HALO extra
     block_walk = (build_block_walk(walk_tables, tile_rows=tile_rows,
-                                   interpret=interpret, nblocks=esc_kb)
+                                   grid_blocks=esc_gb, halo_max=esc_hmax,
+                                   interpret=interpret, nblocks=esc_kb,
+                                   tail_split=tail_split,
+                                   sieve_tables=tables)
                   if esc_ok else None)
     kernel = _make_kernel(tables, grid, tile_rows, interpret, unroll,
                           tail_split, split_loops)
@@ -1167,49 +1299,39 @@ def build_pipeline(automaton: Automaton, tables: SieveTables, *,
                     jnp.arange(grid, dtype=jnp.int32) < grid - 1)
             blk_ids, n_esc = _rank_select(esc_flags, min(grid, 1 << 15))
             n_scalar = n_arr[0]
-            brows = tile_rows + HALO_ROWS
-            riota = jnp.arange(brows, dtype=jnp.int32)
+
+            from .pallas_walk import _n_m123_refs
+            esc_tabs = (list(sieve_args[:_n_m123_refs(tables)])
+                        + list(walk_args))
+            esc_tail = tail2d if tail_split else None
 
             def esc_body(s):
-                # ESC_BLOCK_BATCH blocks per iteration: one kernel launch
-                # + one batched row gather; the final iteration pads with
-                # repeats of the last block id (the merge is idempotent)
-                i, res2d, rcnt = s
+                # ESC_BLOCK_BATCH blocks per iteration, ONE pallas
+                # launch each: the in-place kernel DMAs its own block
+                # windows (prefetch-driven input maps) and writes every
+                # block's COMPLETE result straight into the aliased
+                # match buffer — no per-block HLOs (a
+                # dynamic_update_slice pair per block cost ~25 us of
+                # dispatch each and dominated the all-match regime;
+                # row scatters measured ~30x slower than row gathers).
+                # Padding (final iteration) repeats the last block id;
+                # the overwrite is idempotent.
+                i, res2d = s
                 ranks = jnp.minimum(
                     i * esc_kb + jnp.arange(esc_kb, dtype=jnp.int32),
                     jnp.maximum(n_esc - 1, 0))
                 bids = jnp.take(blk_ids, ranks)
-                rr = (bids[:, None] * tile_rows
-                      + riota[None, :]).reshape(-1)
-                if tail_split:
-                    nm = (grid - 1) * tile_rows
-                    pm = jnp.take(data2d, jnp.minimum(rr, nm - 1), axis=0)
-                    pt = jnp.take(tail2d,
-                                  jnp.clip(rr - nm, 0,
-                                           tail2d.shape[0] - 1), axis=0)
-                    blk_u8 = jnp.where((rr < nm)[:, None], pm, pt)
-                else:
-                    blk_u8 = jnp.take(
-                        data2d, jnp.minimum(rr, data2d.shape[0] - 1),
-                        axis=0)
-                nloc = n_scalar - bids * (tile_rows * LANES)
-                wm = block_walk(walk_args, blk_u8.astype(jnp.int32), nloc)
-                for j in range(esc_kb):
-                    b = bids[j]
-                    wmj = jax.lax.dynamic_slice(
-                        wm, (j * tile_rows, 0), (tile_rows, LANES))
-                    cur = jax.lax.dynamic_slice(
-                        res2d, (b * tile_rows, 0), (tile_rows, LANES))
-                    res2d = jax.lax.dynamic_update_slice(
-                        res2d, jnp.where(wmj > 0, wmj, cur),
-                        (b * tile_rows, 0))
-                    rcnt = jax.lax.dynamic_update_slice(
-                        rcnt, jnp.zeros(sub, jnp.int32), (b * sub,))
-                return i + 1, res2d, rcnt
+                sv = jnp.concatenate([bids, n_scalar.reshape(1)])
+                return i + 1, block_walk(sv, res2d, data2d, esc_tail,
+                                         esc_tabs)
 
-            _, out, rowcnt = jax.lax.while_loop(
+            _, out = jax.lax.while_loop(
                 lambda s: s[0] * esc_kb < n_esc, esc_body,
-                (jnp.int32(0), out, rowcnt))
+                (jnp.int32(0), out))
+            # escaped blocks leave the survivor counts entirely (their
+            # positions were walked to full depth above); one fused pass
+            # replaces per-iteration bitmap-row updates
+            rowcnt = jnp.where(jnp.repeat(esc_flags, sub), 0, rowcnt)
 
         matches = out.reshape(-1)
         bcum = _prefix_1d(rowcnt)

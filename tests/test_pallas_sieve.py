@@ -632,3 +632,33 @@ class TestAliveStructures:
         d[n - len(deep):] = deep          # match at the very end
         d = bytes(d)
         assert np.array_equal(m.match(d), golden.match_dense_batch(a, d))
+
+
+class TestRankSelect:
+    """_rank_select / _rank_select_gather: the row-gather rank-select
+    forms (r5) must match the reference nonzero semantics at every
+    density, including non-128-multiple lengths and zero/full flags."""
+
+    def test_rank_select_property(self):
+        import jax.numpy as jnp
+        from pfac_tpu.backends.pallas_sieve import (_rank_select,
+                                                    _rank_select_gather)
+
+        rng = np.random.default_rng(0)
+        for nf in (5, 128, 200, 1024, 5000):
+            for density in (0.0, 0.03, 0.5, 1.0):
+                flags = rng.random(nf) < density
+                for cap in (8, 1024):
+                    idx, cnt = _rank_select(jnp.asarray(flags), cap)
+                    idx, cnt = np.asarray(idx), int(cnt)
+                    exp = np.nonzero(flags)[0]
+                    assert cnt == len(exp)
+                    k = min(cap, cnt)
+                    assert np.array_equal(idx[:k], exp[:k])
+                    assert (idx[k:] == nf).all()
+                    v = rng.integers(0, 1000, nf).astype(np.int32)
+                    i2, c2, gv = _rank_select_gather(
+                        jnp.asarray(flags), cap, jnp.asarray(v))
+                    assert int(c2) == cnt
+                    assert np.array_equal(np.asarray(i2), idx)
+                    assert np.array_equal(np.asarray(gv)[:k], v[exp[:k]])
